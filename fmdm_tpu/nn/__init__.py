@@ -1,0 +1,37 @@
+"""Functional blocks layer (L2). See SURVEY.md §1."""
+
+from fmdm_tpu.nn.module import (
+    Identity,
+    Module,
+    ModuleList,
+    cast_floating,
+    flatten_params,
+    param_count,
+    unflatten_params,
+)
+from fmdm_tpu.nn.layers import (
+    Activation,
+    BatchNorm,
+    Conv,
+    ConvND,
+    ConvTranspose,
+    ConvTransposeND,
+    GroupNorm,
+    Linear,
+    RMSNormND,
+    Sequential,
+    dropout,
+    make_activation,
+    make_group_norm,
+)
+from fmdm_tpu.nn.blocks import (
+    DiffusersAttentionND,
+    DownsampleND,
+    PoolND,
+    ResBlockND,
+    SpatialCrossAttention,
+    SpatialSelfAttention,
+    UnPoolND,
+    UpsampleND,
+)
+from fmdm_tpu.nn.unet_blocks import DownBlock2DCompat, UNetMidBlock2DCompat, UpBlock2DCompat

@@ -1,0 +1,76 @@
+"""
+Attention primitives.
+
+Functional equivalents of the reference QKVAttention / LinearQKVAttention
+(/root/reference/src/nn/blocks/attention.py:10-70). The default scaled-dot-
+product path lets XLA fuse the matmul-softmax-matmul chain onto MXU+VPU; a
+Pallas flash-attention kernel (``fmdm_tpu.ops.pallas.flash_attention``) can be
+enabled for long token counts via ``set_sdpa_backend``/config.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_SDPA_BACKEND = "xla"  # "xla" | "pallas"
+# Pallas kernel pays off once the attention matrix stops fitting comfortably in
+# VMEM-sized tiles; below this token count plain XLA fusion is as fast.
+_PALLAS_MIN_TOKENS = 1024
+
+
+def set_sdpa_backend(name: str) -> None:
+    global _SDPA_BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"Unknown sdpa backend '{name}'")
+    _SDPA_BACKEND = name
+
+
+def get_sdpa_backend() -> str:
+    return _SDPA_BACKEND
+
+
+def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: Optional[float] = None) -> jax.Array:
+    """softmax(q kᵀ · scale) v over the last two dims; f32 accumulation."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    dtype = q.dtype
+    logits = jnp.einsum(
+        "...td,...sd->...ts", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("...ts,...sd->...td", weights, v, preferred_element_type=jnp.float32).astype(dtype)
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: Optional[float] = None) -> jax.Array:
+    """Scaled dot-product attention; dispatches to the configured backend.
+
+    Inputs are (..., T, d) / (..., S, d) / (..., S, d_v).
+    """
+    if _SDPA_BACKEND == "pallas" and q.shape[-2] >= _PALLAS_MIN_TOKENS:
+        from fmdm_tpu.ops.pallas.flash_attention import flash_attention
+
+        try:
+            return flash_attention(q, k, v, scale=scale)
+        except Exception:  # pragma: no cover - fall back on unsupported shapes
+            pass
+    return sdpa_xla(q, k, v, scale=scale)
+
+
+def linear_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, eps: float = 1e-6) -> jax.Array:
+    """O(N) softmax-factored linear attention (reference attention.py:63-70).
+
+    k is softmaxed over tokens (dim -2), q over features (dim -1);
+    context = kᵀ v normalized by per-feature key mass.
+    """
+    dtype = q.dtype
+    k_soft = jax.nn.softmax(k.astype(jnp.float32), axis=-2)
+    q_soft = jax.nn.softmax(q.astype(jnp.float32), axis=-1)
+    context = jnp.einsum("...nd,...ne->...de", k_soft, v.astype(jnp.float32))
+    denom = jnp.sum(k_soft, axis=-2)[..., :, None] + eps  # (..., d, 1)
+    context = context / denom
+    out = jnp.einsum("...nd,...de->...ne", q_soft, context)
+    return out.astype(dtype)

@@ -1,0 +1,75 @@
+"""
+Normalization primitives for channels-first ND tensors.
+
+Functional equivalents of the reference layers
+(/root/reference/src/nn/ops/normalization.py:11-34). Statistics are always
+computed in float32 regardless of input dtype (bf16-safe on TPU), then the
+result is cast back — matching torch's float32-accumulation GroupNorm.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def safe_num_groups(channels: int, groups: int = 32) -> int:
+    """Largest divisor of ``channels`` that is <= groups (reference
+    normalization.py:11-19 fallback semantics)."""
+    num_groups = min(groups, channels)
+    while channels % num_groups != 0 and num_groups > 1:
+        num_groups -= 1
+    return num_groups
+
+
+def group_norm(
+    x: jax.Array,
+    weight: Optional[jax.Array],
+    bias: Optional[jax.Array],
+    *,
+    num_groups: int,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """GroupNorm over (N, C, *spatial)."""
+    orig_dtype = x.dtype
+    n, c = x.shape[0], x.shape[1]
+    spatial = x.shape[2:]
+    xf = x.astype(jnp.float32).reshape(n, num_groups, c // num_groups, -1)
+    mean = jnp.mean(xf, axis=(2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(2, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(n, c, *spatial)
+    if weight is not None:
+        shape = (1, c) + (1,) * len(spatial)
+        xf = xf * weight.astype(jnp.float32).reshape(shape)
+        if bias is not None:
+            xf = xf + bias.astype(jnp.float32).reshape(shape)
+    return xf.astype(orig_dtype)
+
+
+def rms_norm_nd(x: jax.Array, weight: jax.Array, *, eps: float = 1e-6) -> jax.Array:
+    """RMSNorm over all non-batch dims with per-channel scale
+    (reference normalization.py:22-34)."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    dims = tuple(range(1, x.ndim))
+    rms = jnp.sqrt(jnp.mean(jnp.square(xf), axis=dims, keepdims=True) + eps)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    out = weight.astype(jnp.float32).reshape(shape) * xf / rms
+    return out.astype(orig_dtype)
+
+
+def layer_norm(x: jax.Array, weight, bias, *, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the trailing dim (used by attention variants)."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        out = out * weight.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)

@@ -1,0 +1,36 @@
+"""
+Sinusoidal timestep embeddings.
+
+Exact functional parity with the reference
+(/root/reference/src/nn/ops/time_embedding.py:4-32), including the diffusers
+semantics: half-dim exponent scaled by 1/max(half - freq_shift, 1),
+sin||cos concat, optional flip to cos||sin, and odd-dim zero padding.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    max_period: int = 10000,
+    *,
+    flip_sin_to_cos: bool = True,
+    freq_shift: int = 0,
+) -> jax.Array:
+    """timesteps: (N,) -> (N, dim) float32 positional embeddings."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / max(half - freq_shift, 1)
+    args = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    embedding = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        embedding = jnp.concatenate([embedding[:, half:], embedding[:, :half]], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate([embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding

@@ -1,0 +1,114 @@
+"""
+Scheduler core: pure-JAX, stateless step functions composable inside
+``jax.lax.scan``.
+
+Replaces the diffusers scheduler classes used by the reference
+(/root/reference/src/pipelines/utils.py:22-30) with a functional API:
+
+  sched = DDPMScheduler.create(num_train_timesteps=1000, ...)
+  timesteps = sched.set_timesteps(50)            # static numpy array, host side
+  state = sched.init_state(timesteps)            # fixed-size carried state
+  noisy = sched.add_noise(x0, noise, t)          # forward process
+  state, prev = sched.step(state, model_output, i, sample, timesteps, rng)
+                                                  # i = static-position scan index
+
+All tables (betas, sigmas, lambdas) are precomputed host-side in float64/32 and
+baked into the jitted program as constants; ``step`` takes the *index into the
+selected timestep array* so the whole reverse process is one ``lax.scan`` with
+static shapes (BASELINE.json north-star: compiled denoising loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_beta_schedule(
+    schedule: str,
+    num_train_timesteps: int,
+    beta_start: float,
+    beta_end: float,
+) -> np.ndarray:
+    """Beta schedules with diffusers semantics."""
+    if schedule == "linear":
+        return np.linspace(beta_start, beta_end, num_train_timesteps, dtype=np.float64)
+    if schedule == "scaled_linear":
+        return (
+            np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps, dtype=np.float64) ** 2
+        )
+    if schedule == "squaredcos_cap_v2":
+        # Glide cosine schedule
+        def alpha_bar(t):
+            return np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+
+        betas = []
+        for i in range(num_train_timesteps):
+            t1 = i / num_train_timesteps
+            t2 = (i + 1) / num_train_timesteps
+            betas.append(min(1 - alpha_bar(t2) / alpha_bar(t1), 0.999))
+        return np.array(betas, dtype=np.float64)
+    raise ValueError(f"Unknown beta schedule '{schedule}'")
+
+
+def spaced_timesteps_leading(num_train: int, num_inference: int) -> np.ndarray:
+    """'leading' spacing (diffusers DDPM/DDIM default): descending int array."""
+    step_ratio = num_train // num_inference
+    t = (np.arange(0, num_inference) * step_ratio).round()[::-1].copy()
+    return t.astype(np.int64)
+
+
+def spaced_timesteps_linspace(num_train: int, num_inference: int) -> np.ndarray:
+    """'linspace' spacing (DPM-Solver/UniPC default)."""
+    return (
+        np.linspace(0, num_train - 1, num_inference + 1).round()[::-1][:-1].copy().astype(np.int64)
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class Scheduler:
+    """Base scheduler; concrete schedulers are frozen dataclasses with numpy
+    tables + config, and pure step functions."""
+
+    num_train_timesteps: int = 1000
+
+    # ---- API -----------------------------------------------------------
+    @classmethod
+    def create(cls, num_train_timesteps: int = 1000, **params) -> "Scheduler":
+        raise NotImplementedError
+
+    def set_timesteps(self, num_inference_steps: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def init_state(self, timesteps: np.ndarray) -> Dict[str, Any]:
+        """Fixed-size carried state for lax.scan; default: empty."""
+        return {}
+
+    def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def step(
+        self,
+        state: Dict[str, Any],
+        model_output: jax.Array,
+        index,
+        sample: jax.Array,
+        timesteps: jax.Array,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[Dict[str, Any], jax.Array]:
+        raise NotImplementedError
+
+    # ---- helpers ---------------------------------------------------------
+    @property
+    def needs_noise(self) -> bool:
+        """Whether step() draws random noise (DDPM ancestral / SDE variants)."""
+        return False
+
+
+def broadcast_to_sample(coeff: jax.Array, sample: jax.Array) -> jax.Array:
+    """(B,) -> (B, 1, 1, ...) matching sample rank."""
+    return coeff.reshape(coeff.shape + (1,) * (sample.ndim - coeff.ndim)).astype(sample.dtype)

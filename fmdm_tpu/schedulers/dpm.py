@@ -1,0 +1,172 @@
+"""
+DPM-Solver multistep scheduler (orders 1/2, algorithm 'dpmsolver' and
+'dpmsolver++'), matching diffusers.DPMSolverMultistepScheduler semantics for
+the reference's CLI aliases dpmsolver1/dpmsolver2/dpmsolver++
+(/root/reference/src/pipelines/utils.py:74-84): linspace timestep spacing,
+midpoint solver, lower_order_final, final sigma zero, epsilon prediction.
+
+The multistep history is carried as fixed-size scan state (one previous
+converted model output + validity counter), so 50-step DPM++ compiles to a
+single lax.scan — the BASELINE.json north-star loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fmdm_tpu.schedulers.base import (
+    Scheduler,
+    make_beta_schedule,
+    spaced_timesteps_linspace,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMSolverMultistepScheduler(Scheduler):
+    num_train_timesteps: int = 1000
+    alphas_cumprod: np.ndarray = None
+    solver_order: int = 2
+    algorithm_type: str = "dpmsolver++"
+    prediction_type: str = "epsilon"
+    lower_order_final: bool = True
+    num_inference_steps: Optional[int] = None
+
+    @classmethod
+    def create(
+        cls,
+        num_train_timesteps: int = 1000,
+        beta_start: float = 0.0001,
+        beta_end: float = 0.02,
+        beta_schedule: str = "linear",
+        solver_order: int = 2,
+        algorithm_type: str = "dpmsolver++",
+        prediction_type: str = "epsilon",
+        lower_order_final: bool = True,
+        **_unused,
+    ) -> "DPMSolverMultistepScheduler":
+        if solver_order not in (1, 2):
+            raise NotImplementedError("solver_order must be 1 or 2 (reference aliases use <=2)")
+        if algorithm_type not in ("dpmsolver", "dpmsolver++"):
+            raise ValueError(f"Unknown algorithm_type '{algorithm_type}'")
+        betas = make_beta_schedule(beta_schedule, num_train_timesteps, beta_start, beta_end)
+        alphas_cumprod = np.cumprod(1.0 - betas)
+        return cls(
+            num_train_timesteps=num_train_timesteps,
+            alphas_cumprod=alphas_cumprod,
+            solver_order=solver_order,
+            algorithm_type=algorithm_type,
+            prediction_type=prediction_type,
+            lower_order_final=lower_order_final,
+        )
+
+    # -- forward process ----------------------------------------------------
+    def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
+        acp = jnp.asarray(self.alphas_cumprod, dtype=jnp.float32)[t]
+        shape = acp.shape + (1,) * (x0.ndim - acp.ndim)
+        return jnp.sqrt(acp).reshape(shape) * x0 + jnp.sqrt(1 - acp).reshape(shape) * noise
+
+    # -- reverse process -------------------------------------------------------
+    def set_timesteps(self, num_inference_steps: int) -> np.ndarray:
+        object.__setattr__(self, "num_inference_steps", num_inference_steps)
+        return spaced_timesteps_linspace(self.num_train_timesteps, num_inference_steps)
+
+    def init_state(self, timesteps: np.ndarray) -> Dict[str, Any]:
+        return {"prev_m": None, "order_count": jnp.zeros((), jnp.int32)}
+
+    def _sigmas_for(self, timesteps: jax.Array) -> jax.Array:
+        """Karras-style sigma per selected timestep + trailing final sigma 0."""
+        acp = jnp.asarray(self.alphas_cumprod, dtype=jnp.float32)[timesteps]
+        sigmas = jnp.sqrt((1.0 - acp) / acp)
+        return jnp.concatenate([sigmas, jnp.zeros((1,), jnp.float32)])
+
+    @staticmethod
+    def _alpha_sigma(sigma: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        alpha_t = 1.0 / jnp.sqrt(sigma**2 + 1.0)
+        return alpha_t, sigma * alpha_t
+
+    def _convert_model_output(self, model_output, sample, sigma):
+        """epsilon/sample/v -> x0 (dpmsolver++) or eps (dpmsolver)."""
+        alpha_t, sigma_t = self._alpha_sigma(sigma)
+        if self.prediction_type == "epsilon":
+            x0 = (sample - sigma_t * model_output) / alpha_t
+            eps = model_output
+        elif self.prediction_type == "sample":
+            x0 = model_output
+            eps = (sample - alpha_t * x0) / sigma_t
+        elif self.prediction_type == "v_prediction":
+            x0 = alpha_t * sample - sigma_t * model_output
+            eps = alpha_t * model_output + sigma_t * sample
+        else:
+            raise ValueError(f"Unknown prediction_type '{self.prediction_type}'")
+        return x0 if self.algorithm_type == "dpmsolver++" else eps
+
+    def step(
+        self,
+        state: Dict[str, Any],
+        model_output: jax.Array,
+        index,
+        sample: jax.Array,
+        timesteps: jax.Array,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[Dict[str, Any], jax.Array]:
+        n = timesteps.shape[0]
+        sigmas = self._sigmas_for(timesteps)
+        # Guard the trailing sigma=0: lambda would be -inf; clamp like diffusers'
+        # final_sigmas_type="zero" (h stays finite through where-masking below).
+        sigma_s0 = sigmas[index]
+        sigma_t = sigmas[index + 1]
+        sigma_s1 = sigmas[jnp.maximum(index - 1, 0)]
+
+        x32 = sample.astype(jnp.float32)
+        m0 = self._convert_model_output(model_output.astype(jnp.float32), x32, sigma_s0)
+
+        prev_m = state.get("prev_m")
+        if prev_m is None:
+            prev_m = jnp.zeros_like(m0)
+        order_count = state["order_count"]
+
+        alpha_t, sigma_t_ = self._alpha_sigma(sigma_t)
+        alpha_s0, sigma_s0_ = self._alpha_sigma(sigma_s0)
+        alpha_s1, sigma_s1_ = self._alpha_sigma(sigma_s1)
+        # lambda = log(alpha) - log(sigma); guard sigma_t == 0 at final step
+        safe = lambda s: jnp.maximum(s, 1e-10)
+        lam_t = jnp.log(alpha_t) - jnp.log(safe(sigma_t_))
+        lam_s0 = jnp.log(alpha_s0) - jnp.log(safe(sigma_s0_))
+        lam_s1 = jnp.log(alpha_s1) - jnp.log(safe(sigma_s1_))
+        h = lam_t - lam_s0
+        h_0 = lam_s0 - lam_s1
+        r0 = h_0 / jnp.where(h == 0, 1.0, h)
+
+        D0 = m0
+        D1 = (m0 - prev_m) / jnp.where(r0 == 0, 1.0, r0)
+
+        if self.algorithm_type == "dpmsolver++":
+            # x_t = (sigma_t/sigma_s0) x - alpha_t (e^{-h} - 1) D0 [- 0.5 alpha_t (e^{-h}-1) D1]
+            ratio = sigma_t_ / safe(sigma_s0_)
+            phi = jnp.expm1(-h)
+            first = ratio * x32 - alpha_t * phi * D0
+            second = first - 0.5 * alpha_t * phi * D1
+        else:
+            # dpmsolver (eps space): x_t = (alpha_t/alpha_s0) x - sigma_t (e^{h} - 1) D0 [...]
+            ratio = alpha_t / alpha_s0
+            phi = jnp.expm1(h)
+            first = ratio * x32 - sigma_t_ * phi * D0
+            second = first - 0.5 * sigma_t_ * phi * D1
+
+        use_first = order_count < 1
+        if self.solver_order == 1:
+            use_first = jnp.bool_(True)
+        elif self.lower_order_final and n < 15:
+            use_first = jnp.logical_or(use_first, index == n - 1)
+        prev_sample = jnp.where(use_first, first, second)
+
+        new_state = {
+            "prev_m": m0,
+            "order_count": jnp.minimum(order_count + 1, self.solver_order),
+        }
+        return new_state, prev_sample.astype(sample.dtype)
