@@ -84,8 +84,10 @@ class Scheduler:
     def set_timesteps(self, num_inference_steps: int) -> np.ndarray:
         raise NotImplementedError
 
-    def init_state(self, timesteps: np.ndarray) -> Dict[str, Any]:
-        """Fixed-size carried state for lax.scan; default: empty."""
+    def init_state(self, timesteps: np.ndarray, sample: Optional[jax.Array] = None) -> Dict[str, Any]:
+        """Fixed-size carried state for lax.scan; default: empty.
+
+        ``sample`` is a shape/dtype template for multistep history buffers."""
         return {}
 
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:

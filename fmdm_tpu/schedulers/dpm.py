@@ -51,7 +51,7 @@ class DPMSolverMultistepScheduler(Scheduler):
     ) -> "DPMSolverMultistepScheduler":
         if solver_order not in (1, 2):
             raise NotImplementedError("solver_order must be 1 or 2 (reference aliases use <=2)")
-        if algorithm_type not in ("dpmsolver", "dpmsolver++"):
+        if algorithm_type not in ("dpmsolver", "dpmsolver++", "sde-dpmsolver++"):
             raise ValueError(f"Unknown algorithm_type '{algorithm_type}'")
         betas = make_beta_schedule(beta_schedule, num_train_timesteps, beta_start, beta_end)
         alphas_cumprod = np.cumprod(1.0 - betas)
@@ -64,6 +64,10 @@ class DPMSolverMultistepScheduler(Scheduler):
             lower_order_final=lower_order_final,
         )
 
+    @property
+    def needs_noise(self) -> bool:
+        return self.algorithm_type == "sde-dpmsolver++"
+
     # -- forward process ----------------------------------------------------
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
         acp = jnp.asarray(self.alphas_cumprod, dtype=jnp.float32)[t]
@@ -75,14 +79,28 @@ class DPMSolverMultistepScheduler(Scheduler):
         object.__setattr__(self, "num_inference_steps", num_inference_steps)
         return spaced_timesteps_linspace(self.num_train_timesteps, num_inference_steps)
 
-    def init_state(self, timesteps: np.ndarray) -> Dict[str, Any]:
-        return {"prev_m": None, "order_count": jnp.zeros((), jnp.int32)}
+    def init_state(self, timesteps: np.ndarray, sample: Optional[jax.Array] = None) -> Dict[str, Any]:
+        if sample is None:
+            raise ValueError("DPMSolverMultistepScheduler.init_state needs a sample template")
+        return {
+            "prev_m": jnp.zeros(sample.shape, jnp.float32),
+            "order_count": jnp.zeros((), jnp.int32),
+        }
 
     def _sigmas_for(self, timesteps: jax.Array) -> jax.Array:
-        """Karras-style sigma per selected timestep + trailing final sigma 0."""
+        """Karras-style sigma per selected timestep + trailing final sigma.
+
+        final sigma is 0 for x0-space algorithms (diffusers final_sigmas_type
+        'zero'); the eps-space 'dpmsolver' needs sigma_min (0·inf otherwise,
+        matching diffusers' refusal of zero for that algorithm)."""
         acp = jnp.asarray(self.alphas_cumprod, dtype=jnp.float32)[timesteps]
         sigmas = jnp.sqrt((1.0 - acp) / acp)
-        return jnp.concatenate([sigmas, jnp.zeros((1,), jnp.float32)])
+        if self.algorithm_type == "dpmsolver":
+            a0 = jnp.float32(self.alphas_cumprod[0])
+            final = jnp.sqrt((1.0 - a0) / a0)[None]
+        else:
+            final = jnp.zeros((1,), jnp.float32)
+        return jnp.concatenate([sigmas, final])
 
     @staticmethod
     def _alpha_sigma(sigma: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -103,7 +121,7 @@ class DPMSolverMultistepScheduler(Scheduler):
             eps = alpha_t * model_output + sigma_t * sample
         else:
             raise ValueError(f"Unknown prediction_type '{self.prediction_type}'")
-        return x0 if self.algorithm_type == "dpmsolver++" else eps
+        return eps if self.algorithm_type == "dpmsolver" else x0
 
     def step(
         self,
@@ -125,9 +143,7 @@ class DPMSolverMultistepScheduler(Scheduler):
         x32 = sample.astype(jnp.float32)
         m0 = self._convert_model_output(model_output.astype(jnp.float32), x32, sigma_s0)
 
-        prev_m = state.get("prev_m")
-        if prev_m is None:
-            prev_m = jnp.zeros_like(m0)
+        prev_m = state["prev_m"]
         order_count = state["order_count"]
 
         alpha_t, sigma_t_ = self._alpha_sigma(sigma_t)
@@ -151,6 +167,18 @@ class DPMSolverMultistepScheduler(Scheduler):
             phi = jnp.expm1(-h)
             first = ratio * x32 - alpha_t * phi * D0
             second = first - 0.5 * alpha_t * phi * D1
+        elif self.algorithm_type == "sde-dpmsolver++":
+            # Stochastic DPM-Solver++ (midpoint), one model eval per step:
+            # x_t = (σ_t/σ_s0) e^{-h} x + α_t(1-e^{-2h}) D0 [+ 0.5 α_t(1-e^{-2h}) D1]
+            #       + σ_t √(1-e^{-2h}) ξ
+            if rng is None:
+                raise ValueError("sde-dpmsolver++ requires an rng key.")
+            ratio = (sigma_t_ / safe(sigma_s0_)) * jnp.exp(-h)
+            phi = -jnp.expm1(-2.0 * h)  # 1 - e^{-2h}
+            noise = jax.random.normal(rng, sample.shape, jnp.float32)
+            base = ratio * x32 + sigma_t_ * jnp.sqrt(jnp.clip(phi, 0.0, None)) * noise
+            first = base + alpha_t * phi * D0
+            second = first + 0.5 * alpha_t * phi * D1
         else:
             # dpmsolver (eps space): x_t = (alpha_t/alpha_s0) x - sigma_t (e^{h} - 1) D0 [...]
             ratio = alpha_t / alpha_s0
