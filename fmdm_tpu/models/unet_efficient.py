@@ -40,7 +40,7 @@ class TimestepEmbedSequential(Sequential):
 
     def __call__(self, params: Params, x, emb=None, context=None, **kwargs):
         for i, layer in enumerate(self._items):
-            p = params[str(i)]
+            p = params.get(str(i), {})
             if isinstance(layer, ResBlockND):
                 x = layer(p, x, emb, **kwargs)
             elif isinstance(layer, SpatialCrossAttention):

@@ -293,7 +293,7 @@ class Sequential(Module):
 
     def __call__(self, params: Params, x, **kwargs):
         for i, m in enumerate(self._items):
-            x = m(params[str(i)], x, **kwargs)
+            x = m(params.get(str(i), {}), x, **kwargs)
         return x
 
     def __iter__(self):

@@ -59,7 +59,12 @@ class Module:
             if name in self._param_inits:
                 out[name] = self._param_inits[name](k)
             else:
-                out[name] = self._children[name].init(k)
+                sub = self._children[name].init(k)
+                # Skip empty subtrees (Identity, activations): they would not
+                # survive a flatten/unflatten round-trip (checkpoints) and
+                # would make saved/live pytree structures diverge.
+                if sub:
+                    out[name] = sub
         return out
 
     # -- application -------------------------------------------------------

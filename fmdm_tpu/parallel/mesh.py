@@ -1,0 +1,76 @@
+"""
+Device mesh and sharding helpers (the TPU replacement for the reference's
+torch.distributed DP path, SURVEY.md §2.2/§5.8).
+
+One logical mesh with a ``data`` axis spanning all local+remote devices; the
+jitted train step consumes batches sharded along it and computes global
+gradients via jnp mean under pjit — XLA inserts the ICI all-reduces the
+reference *omits* (its DDP never syncs grads; we do true data parallelism).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Optional[Mesh], batch):
+    """Device-put a host batch with batch-dim sharding (HBM-resident batches)."""
+    if mesh is None:
+        return jax.tree_util.tree_map(jax.device_put, batch)
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Optional[Mesh], tree):
+    if mesh is None:
+        return tree
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_batch_to_multiple(arrays, multiple: int):
+    """Pad the leading dim so it divides the mesh size; returns (padded, real_count).
+
+    Static-shape strategy for ragged final batches (SURVEY.md §7.3 item 3)."""
+    import numpy as np
+
+    real = arrays[0].shape[0] if isinstance(arrays, (list, tuple)) else arrays.shape[0]
+    pad = (-real) % multiple
+    if pad == 0:
+        return arrays, real
+
+    def _pad(a):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, widths, mode="edge")
+
+    if isinstance(arrays, (list, tuple)):
+        return type(arrays)(_pad(a) for a in arrays), real
+    return _pad(arrays), real
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def process_count() -> int:
+    return jax.process_count()

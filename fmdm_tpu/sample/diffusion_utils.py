@@ -1,0 +1,242 @@
+"""
+Diffusion/flow model construction and batch encode/decode.
+
+Behavioral parity with /root/reference/src/utils/model_utils/diffusion_utils.py:
+build_diffusion_model (factory + checkpoint incl. legacy key remap),
+encode_diffusion_batch (forward noising), decode_diffusion_batch (scheduler
+override + start_step/last_n/init_from_reference + compiled sampling scan),
+prepare_diffusion_visual_batch.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fmdm_tpu.models.factories import DiffusionUNetFactory
+from fmdm_tpu.nn.module import flatten_params, unflatten_params
+from fmdm_tpu.schedulers import build_scheduler, resolve_conditioning_mode, resolve_scheduler_override
+from fmdm_tpu.sample.engine import SamplingEngine, select_timesteps
+from fmdm_tpu.utils.evaluation import select_visual_indices
+from fmdm_tpu.utils.checkpoint import load_checkpoint
+
+
+def remap_legacy_unet_keys(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Diffusers/legacy UNet key names -> this repo's names
+    (reference diffusion_utils.py:15-43)."""
+    remapped = {}
+    for key, value in state_dict.items():
+        new_key = key
+        new_key = new_key.replace(".query.", ".to_q.")
+        new_key = new_key.replace(".key.", ".to_k.")
+        new_key = new_key.replace(".value.", ".to_v.")
+        new_key = new_key.replace(".proj_attn.", ".to_out.0.")
+        new_key = new_key.replace(".conv1.weight", ".conv1.conv.weight")
+        new_key = new_key.replace(".conv1.bias", ".conv1.conv.bias")
+        new_key = new_key.replace(".conv2.weight", ".conv2.conv.weight")
+        new_key = new_key.replace(".conv2.bias", ".conv2.conv.bias")
+        new_key = new_key.replace(".time_emb_proj.weight", ".emb_layers.weight")
+        new_key = new_key.replace(".time_emb_proj.bias", ".emb_layers.bias")
+        new_key = new_key.replace(".conv_shortcut.weight", ".skip_connection.conv.weight")
+        new_key = new_key.replace(".conv_shortcut.bias", ".skip_connection.conv.bias")
+        new_key = new_key.replace(".downsamplers.0.conv.weight", ".downsamplers.0.op.conv.weight")
+        new_key = new_key.replace(".downsamplers.0.conv.bias", ".downsamplers.0.op.conv.bias")
+        new_key = new_key.replace(".upsamplers.0.conv.weight", ".upsamplers.0.conv.conv.weight")
+        new_key = new_key.replace(".upsamplers.0.conv.bias", ".upsamplers.0.conv.conv.bias")
+        remapped[new_key] = value
+    return remapped
+
+
+def load_legacy_unet_state(expected_params: dict, state: Dict[str, np.ndarray],
+                           strict_shapes: bool = True) -> dict:
+    """Shape-checked partial load with strict reporting
+    (reference diffusion_utils.py:46-90). Returns merged params."""
+    state = remap_legacy_unet_keys(state)
+    model_flat = flatten_params(expected_params)
+    converted: Dict[str, np.ndarray] = {}
+    shape_mismatch, missing, unexpected = [], [], []
+    for key, value in state.items():
+        if key not in model_flat:
+            unexpected.append(key)
+            continue
+        if tuple(np.shape(value)) != tuple(model_flat[key].shape):
+            shape_mismatch.append(
+                f"{key}: ckpt={tuple(np.shape(value))} model={tuple(model_flat[key].shape)}"
+            )
+            continue
+        converted[key] = np.asarray(value)
+    for key in model_flat:
+        if key not in converted:
+            missing.append(key)
+    if strict_shapes and shape_mismatch:
+        msg = "Legacy load failed due to shape mismatches:\n" + "\n".join(shape_mismatch[:20])
+        if len(shape_mismatch) > 20:
+            msg += f"\n... and {len(shape_mismatch) - 20} more"
+        raise RuntimeError(msg)
+    merged = dict(model_flat)
+    merged.update(converted)
+    if strict_shapes and (missing or unexpected):
+        details = []
+        if missing:
+            details.append(f"missing={len(missing)}")
+        if unexpected:
+            details.append(f"unexpected={len(unexpected)}")
+        raise RuntimeError(
+            "Legacy load key mismatch after conversion (" + ", ".join(details) + "). "
+            "Architecture/config likely differs from the source checkpoint."
+        )
+    return unflatten_params(merged)
+
+
+def build_diffusion_model(cfg: dict, ckpt_path=None, rng: Optional[jax.Array] = None):
+    """Build (model, params) from the full config; optionally load a checkpoint
+    (.pt payload['model'], bare state_dict, or .safetensors)."""
+    training_cfg = cfg["training"]
+    model_cfg = cfg["model"].get("unet", {})
+    conditioning_mode = resolve_conditioning_mode(
+        training_cfg.get("conditioning") or cfg["model"].get("conditioning")
+    )
+    channels = int(training_cfg.get("channels", model_cfg.get("out_channels", 1)))
+    model = DiffusionUNetFactory().build(model_cfg, conditioning_mode, channels)
+    params = model.init(rng if rng is not None else jax.random.PRNGKey(int(training_cfg.get("seed") or 0)))
+    if ckpt_path is not None:
+        ckpt_path = str(ckpt_path)
+        if ckpt_path.endswith(".safetensors"):
+            from safetensors.numpy import load_file as safe_load_file
+
+            state = dict(safe_load_file(ckpt_path))
+        else:
+            payload = load_checkpoint(ckpt_path)
+            model_tree = payload.get("model", payload)
+            state = flatten_params(model_tree) if isinstance(model_tree, dict) else model_tree
+            state = {k: np.asarray(v) for k, v in state.items() if not isinstance(v, dict)}
+        load_legacy = bool(model_cfg.get("load_legacy", False))
+        strict = bool(model_cfg.get("legacy_strict_shapes", True))
+        expected_flat = flatten_params(params)
+        exact = set(state.keys()) == set(expected_flat.keys()) and all(
+            tuple(np.shape(state[k])) == tuple(expected_flat[k].shape) for k in state
+        )
+        if exact and not load_legacy:
+            params = unflatten_params({k: np.asarray(v) for k, v in state.items()})
+        else:
+            params = load_legacy_unet_state(params, state, strict_shapes=strict)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return model, params
+
+
+def encode_diffusion_batch(scheduler, targets: jax.Array, timesteps: jax.Array,
+                           rng: jax.Array) -> jax.Array:
+    """Forward noising (reference diffusion_utils.py:147-162)."""
+    noise = jax.random.normal(rng, targets.shape, jnp.float32)
+    return scheduler.add_noise(targets, noise, timesteps)
+
+
+_ENGINE_CACHE: Dict[Tuple, SamplingEngine] = {}
+
+
+def decode_diffusion_batch(
+    model,
+    params,
+    training_cfg: dict,
+    model_cfg: dict,
+    batch_shape: Tuple[int, ...],
+    conditioning_batch=None,
+    rng: Optional[jax.Array] = None,
+    timing: Optional[dict] = None,
+    num_inference_steps: Optional[int] = None,
+    start_step: Optional[int] = None,
+    last_n_steps: Optional[int] = None,
+    reference_batch=None,
+    init_from_reference: bool = False,
+    scheduler_override: Optional[str] = None,
+):
+    """Reverse sampling with runtime scheduler override
+    (reference diffusion_utils.py:165-245). Engines are cached per
+    configuration so repeated eval batches reuse one compiled scan."""
+    scheduler_cfg = dict(model_cfg.get("scheduler", {}))
+    override_cfg = resolve_scheduler_override(scheduler_override)
+    if override_cfg is not None:
+        scheduler_cfg["name"] = override_cfg["name"]
+        merged_params = dict(scheduler_cfg.get("params", {}))
+        merged_params.update(dict(override_cfg.get("params", {})))
+        scheduler_cfg["params"] = merged_params
+    scheduler, num_inference = build_scheduler(scheduler_cfg, training_cfg)
+    if num_inference_steps is not None:
+        num_inference = int(num_inference_steps)
+    timesteps = select_timesteps(scheduler.set_timesteps(num_inference), start_step, last_n_steps)
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    rng_init, rng_sample = jax.random.split(rng)
+
+    init_sample = None
+    if init_from_reference and reference_batch is not None:
+        if hasattr(scheduler, "add_noise"):
+            t0 = timesteps[0]
+            ts = jnp.broadcast_to(jnp.asarray(t0), (reference_batch.shape[0],))
+            if np.issubdtype(np.asarray(timesteps).dtype, np.integer):
+                ts = ts.astype(jnp.int32)
+            noise = jax.random.normal(rng_init, reference_batch.shape, jnp.float32)
+            init_sample = scheduler.add_noise(jnp.asarray(reference_batch), noise, ts)
+        else:
+            logging.warning(
+                "Requested init_from_reference but scheduler '%s' has no add_noise; "
+                "falling back to random init.", scheduler.__class__.__name__,
+            )
+
+    conditioning_mode = resolve_conditioning_mode(
+        training_cfg.get("conditioning") or model_cfg.get("conditioning")
+    )
+    latent_norm = training_cfg.get("latent_norm")
+    cache_key = (
+        id(model), scheduler.__class__.__name__, tuple(np.asarray(timesteps).tolist()),
+        conditioning_mode, str(latent_norm), tuple(batch_shape),
+    )
+    engine = _ENGINE_CACHE.get(cache_key)
+    if engine is None:
+        engine = SamplingEngine(model, scheduler, timesteps, conditioning_mode, latent_norm)
+        _ENGINE_CACHE[cache_key] = engine
+    cond = jnp.asarray(conditioning_batch) if conditioning_batch is not None else None
+    return engine(params, tuple(batch_shape), rng_sample,
+                  conditioning_batch=cond, init_sample=init_sample, timing=timing)
+
+
+def warn_attention_conditioning_shape(conditioning_batch, model_cfg: dict) -> bool:
+    """(reference diffusion_utils.py:248-270)."""
+    if conditioning_batch is None or np.ndim(conditioning_batch) < 2:
+        return False
+    unet_cfg = model_cfg.get("unet", {}) if isinstance(model_cfg, dict) else {}
+    expected = unet_cfg.get("cross_attention_dim")
+    if expected is None:
+        return False
+    expected = int(expected)
+    actual = int(np.shape(conditioning_batch)[1])
+    if actual != expected:
+        logging.warning(
+            "Attention conditioning has %d channels, but model unet.cross_attention_dim is %d. "
+            "This often means the evaluation split is pointing at pixel conditioning instead "
+            "of the expected latent conditioning.", actual, expected,
+        )
+        return True
+    return False
+
+
+def prepare_diffusion_visual_batch(dataset, count: int, seed: Optional[int] = None):
+    """Fixed seeded batch of targets + optional conditioning
+    (reference diffusion_utils.py:273-300)."""
+    indices = select_visual_indices(dataset, count, seed=seed)
+    targets, conditioning = [], []
+    for idx in indices:
+        sample = dataset[idx]
+        targets.append(np.asarray(sample["target"], dtype=np.float32))
+        conditioning.append(sample.get("image"))
+    target_batch = jnp.asarray(np.stack(targets, axis=0))
+    if conditioning and all(c is not None for c in conditioning):
+        cond_batch = jnp.asarray(np.stack([np.asarray(c, np.float32) for c in conditioning], axis=0))
+    else:
+        cond_batch = None
+    return target_batch, cond_batch

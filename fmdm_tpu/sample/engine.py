@@ -1,0 +1,204 @@
+"""
+The compiled denoising loop.
+
+Replaces the reference's Python-driven ``sample_with_scheduler``
+(/root/reference/src/pipelines/utils.py:163-220) with a single jitted
+``jax.lax.scan`` over the (statically shaped) selected-timestep array —
+the BASELINE.json north-star loop. ``start_step`` / ``last_n_steps`` filtering
+happens host-side on the static timestep array, so no dynamic shapes reach XLA.
+
+Conditioning helpers mirror pipelines/utils.py:110-160
+(_align_conditioning batch repeat, normalize_latent_conditioning,
+_prepare_attention_context).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fmdm_tpu.schedulers.base import Scheduler
+
+
+# ---------------------------------------------------------------------------
+# Conditioning helpers
+# ---------------------------------------------------------------------------
+
+def align_conditioning(condition: Optional[jax.Array], target_batch: int) -> Optional[jax.Array]:
+    if condition is None:
+        return None
+    if condition.shape[0] == target_batch:
+        return condition
+    repeats = math.ceil(target_batch / condition.shape[0])
+    if repeats > 1:
+        condition = jnp.concatenate([condition] * repeats, axis=0)
+    return condition[:target_batch]
+
+
+def normalize_latent_conditioning(condition: Optional[jax.Array], mode: Optional[str]) -> Optional[jax.Array]:
+    if condition is None:
+        return None
+    mode_value = str(mode or "none").lower()
+    if mode_value in {"none", "false", "off"}:
+        return condition
+    eps = 1e-6
+    axes = tuple(range(2, condition.ndim))
+    if mode_value == "standardize":
+        mean = jnp.mean(condition, axis=axes, keepdims=True)
+        # torch .std() uses the unbiased (ddof=1) estimator — match it.
+        std = jnp.std(condition, axis=axes, keepdims=True, ddof=1)
+        return (condition - mean) / (std + eps)
+    if mode_value == "minmax":
+        minv = jnp.min(condition, axis=axes, keepdims=True)
+        maxv = jnp.max(condition, axis=axes, keepdims=True)
+        return (condition - minv) / (maxv - minv + eps)
+    raise ValueError(f"Unknown latent_norm mode: {mode}")
+
+
+def prepare_attention_context(condition: Optional[jax.Array]) -> Optional[jax.Array]:
+    if condition is None:
+        return None
+    if condition.ndim >= 3:
+        return condition
+    raise ValueError(f"Unsupported conditioning shape for attention: {tuple(condition.shape)}")
+
+
+def select_timesteps(
+    timesteps: np.ndarray,
+    start_step: Optional[int] = None,
+    last_n_steps: Optional[int] = None,
+) -> np.ndarray:
+    """Host-side start_step/last_n filtering (pipelines/utils.py:184-194)."""
+    if start_step is not None:
+        start_step = int(start_step)
+        if start_step < 0:
+            raise ValueError("start_step must be >= 0.")
+        timesteps = timesteps[timesteps <= start_step]
+    if last_n_steps is not None:
+        last_n_steps = int(last_n_steps)
+        if last_n_steps <= 0:
+            raise ValueError("last_n_steps must be > 0.")
+        timesteps = timesteps[-last_n_steps:]
+    if timesteps.size == 0:
+        raise ValueError("No timesteps selected after applying start_step/last_n_steps.")
+    return timesteps
+
+
+# ---------------------------------------------------------------------------
+# Sampling engine (cached jitted scan)
+# ---------------------------------------------------------------------------
+
+class SamplingEngine:
+    """Builds and caches one jitted reverse-process scan per
+    (scheduler, timesteps, conditioning-mode) configuration."""
+
+    def __init__(
+        self,
+        model,
+        scheduler: Scheduler,
+        timesteps: np.ndarray,
+        conditioning_mode: Optional[str] = None,
+        latent_norm: Optional[str] = None,
+    ):
+        self.model = model
+        self.scheduler = scheduler
+        self.timesteps = np.asarray(timesteps)
+        self.conditioning_mode = conditioning_mode
+        self.latent_norm = latent_norm
+        self._jitted: Optional[Callable] = None
+
+    def _build(self):
+        scheduler = self.scheduler
+        model = self.model
+        timesteps_const = jnp.asarray(self.timesteps)
+        is_int_t = np.issubdtype(self.timesteps.dtype, np.integer)
+        mode = self.conditioning_mode
+
+        def sample_fn(params, init, cond, rng):
+            n = timesteps_const.shape[0]
+            state = scheduler.init_state(timesteps_const, init)
+            step_rngs = jax.random.split(rng, n)
+
+            def body(carry, inp):
+                state, x = carry
+                i, step_rng = inp
+                t = timesteps_const[i]
+                t_b = jnp.broadcast_to(t.astype(jnp.int32) if is_int_t else t, (x.shape[0],))
+                model_input = x
+                ctx = None
+                if mode == "concatenate" and cond is not None:
+                    model_input = jnp.concatenate([x, cond], axis=1)
+                elif mode == "attention" and cond is not None:
+                    ctx = cond
+                pred = model(params, model_input, t_b, context_ca=ctx)
+                state, x = scheduler.step(state, pred, i, x, timesteps_const, rng=step_rng)
+                return (state, x), None
+
+            (state, x), _ = jax.lax.scan(
+                body, (state, init), (jnp.arange(n), step_rngs)
+            )
+            return x
+
+        return jax.jit(sample_fn)
+
+    def __call__(
+        self,
+        params,
+        sample_shape: Tuple[int, ...],
+        rng: jax.Array,
+        conditioning_batch: Optional[jax.Array] = None,
+        init_sample: Optional[jax.Array] = None,
+        timing: Optional[Dict[str, Any]] = None,
+    ) -> jax.Array:
+        if self._jitted is None:
+            self._jitted = self._build()
+
+        rng_init, rng_steps = jax.random.split(rng)
+        current = init_sample if init_sample is not None else jax.random.normal(
+            rng_init, sample_shape, dtype=jnp.float32
+        )
+        cond = align_conditioning(conditioning_batch, current.shape[0])
+        if self.conditioning_mode == "attention":
+            cond = normalize_latent_conditioning(cond, self.latent_norm)
+            cond = prepare_attention_context(cond)
+
+        start = time.perf_counter()
+        out = self._jitted(params, current, cond, rng_steps)
+        out = jax.block_until_ready(out)
+        if timing is not None:
+            # Parity with the reference timing dict (pipelines/utils.py:211-217):
+            # device-synced seconds around model execution; the compiled scan
+            # fuses scheduler math into the same program (its cost is noise).
+            timing["model_seconds"] = timing.get("model_seconds", 0.0) + (time.perf_counter() - start)
+            timing["model_calls"] = timing.get("model_calls", 0) + int(self.timesteps.shape[0])
+        return out
+
+
+def sample_with_scheduler(
+    model,
+    params,
+    scheduler: Scheduler,
+    num_inference_steps: int,
+    sample_shape: Tuple[int, ...],
+    rng: jax.Array,
+    conditioning_mode: Optional[str] = None,
+    conditioning_batch: Optional[jax.Array] = None,
+    latent_norm: Optional[str] = None,
+    timing: Optional[Dict[str, Any]] = None,
+    start_step: Optional[int] = None,
+    last_n_steps: Optional[int] = None,
+    init_sample: Optional[jax.Array] = None,
+) -> jax.Array:
+    """One-shot functional facade over SamplingEngine (reference signature,
+    pipelines/utils.py:163-220)."""
+    timesteps = select_timesteps(scheduler.set_timesteps(num_inference_steps), start_step, last_n_steps)
+    engine = SamplingEngine(model, scheduler, timesteps, conditioning_mode, latent_norm)
+    return engine(
+        params, sample_shape, rng,
+        conditioning_batch=conditioning_batch, init_sample=init_sample, timing=timing,
+    )

@@ -1,0 +1,292 @@
+"""
+Shared trainer for DDPM diffusion and flow matching.
+
+Behavioral parity with /root/reference/src/pipelines/train/diffusion_lib.py:34-251
+and flow_matching_lib.py (byte-identical skeleton, SURVEY.md §2.3): identical
+config surface, run-dir artifacts (train_config.json, metrics.csv
+'epoch,train_loss', {diff|flow}_last/_best.pt, epochs/epochXXXX/epoch.pt,
+visuals/epochXXXX_{input,output,target}.png), resume semantics, rank-0 gating.
+
+TPU-first differences (by design, SURVEY.md §7.1.6):
+- the whole step (noise draw, add_noise, forward, backward, optimizer) is ONE
+  jitted program; grad accumulation is a lax.scan over static micro-batches;
+- true data parallelism: batches are sharded over the mesh 'data' axis and XLA
+  all-reduces gradients (the reference never syncs grads — a latent bug we fix);
+- bf16 mixed precision policy instead of AMP GradScaler.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fmdm_tpu.parallel import mesh as mesh_lib
+from fmdm_tpu.sample.diffusion_utils import (
+    build_diffusion_model,
+    decode_diffusion_batch,
+    prepare_diffusion_visual_batch,
+)
+from fmdm_tpu.schedulers import build_scheduler, resolve_conditioning_mode
+from fmdm_tpu.train.common import epoch_batches, make_adamw, make_denoise_train_step
+from fmdm_tpu.utils import config as config_utils
+from fmdm_tpu.utils import checkpoint as ckpt_utils
+from fmdm_tpu.utils.evaluation import make_grid, save_image
+
+VARIANTS = {
+    "diffusion": {"prefix": "diff", "model_type": "diffusion"},
+    "flow_matching": {"prefix": "flow", "model_type": "flow_matching"},
+}
+
+
+def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
+          *, variant: str = "diffusion", max_steps_per_epoch: Optional[int] = None) -> Path:
+    spec = VARIANTS[variant]
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s", force=True)
+    cfg = config_utils.load_json_config(json_path)
+    if "model" not in cfg:
+        raise ValueError("Config does not declare a 'model' section.")
+    model_block = cfg["model"]
+    model_type = str(model_block.get("model_type", "")).lower()
+    if model_type != spec["model_type"]:
+        raise ValueError(f"Expected model_type '{spec['model_type']}', got '{model_type}'.")
+
+    training_cfg = cfg["training"]
+    scheduler_cfg = model_block.get("scheduler", {})
+
+    config_utils.set_seed(training_cfg.get("seed"))
+    seed = int(training_cfg.get("seed") or 0)
+
+    batch_size = config_utils.resolve_batch_size(training_cfg, "train_batch_size", training_cfg.get("batch_size", 4))
+    epochs = int(training_cfg.get("num_epochs", training_cfg.get("epochs", 1)))
+    lr = float(training_cfg.get("learning_rate", 1e-4))
+    weight_decay = float(training_cfg.get("weight_decay", 0.0))
+    conditioning_mode = resolve_conditioning_mode(
+        training_cfg.get("conditioning") or model_block.get("conditioning")
+    )
+    save_model_epochs = int(training_cfg.get("save_model_epochs", training_cfg.get("save_every", 5)))
+    grad_accum = max(1, int(training_cfg.get("gradient_accumulation_steps", 1)))
+    lr_warmup = int(training_cfg.get("lr_warmup_steps", 500))
+    latent_norm = training_cfg.get("latent_norm")
+    mixed = str(training_cfg.get("mixed_precision", "no")).lower()
+    compute_dtype = jnp.bfloat16 if mixed in {"fp16", "bf16", "true"} else jnp.float32
+
+    base_output_dir = Path(training_cfg.get("output_dir", f"checkpoints/{variant}"))
+    output_dir = config_utils.allocate_run_dir(base_output_dir) if resume is None else base_output_dir
+    training_cfg["output_dir"] = str(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    cfg_path = output_dir / "train_config.json"
+    if not cfg_path.exists():
+        config_utils.save_json_config(cfg_path, cfg)
+
+    mesh = mesh_lib.create_mesh()
+    model, params = build_diffusion_model(cfg, ckpt_path=None, rng=jax.random.PRNGKey(seed))
+    params = mesh_lib.replicate(mesh, params)
+
+    scheduler, num_inference_steps = build_scheduler(scheduler_cfg, training_cfg)
+    num_train_steps = epochs * math.ceil(len(dataset) / batch_size)
+    optimizer, _ = make_adamw(lr, weight_decay, lr_warmup, num_train_steps)
+    opt_state = optimizer.init(params)
+    opt_state = mesh_lib.replicate(mesh, opt_state)
+
+    train_step = make_denoise_train_step(
+        model, scheduler, optimizer,
+        variant=variant, conditioning_mode=conditioning_mode, latent_norm=latent_norm,
+        grad_accum=grad_accum, compute_dtype=compute_dtype, mesh=mesh,
+    )
+
+    visual_enabled = bool(training_cfg.get("save_images", False))
+    visual_every = int(training_cfg.get("save_images_every", 10))
+    visual_targets = visual_cond = None
+    if visual_enabled and mesh_lib.is_main_process():
+        eval_source = val_dataset if val_dataset is not None else dataset
+        visual_count = int(training_cfg.get("visual_samples", 8))
+        visual_targets, visual_cond = prepare_diffusion_visual_batch(
+            eval_source, visual_count, seed=training_cfg.get("seed")
+        )
+        if conditioning_mode in {"concatenate", "attention"} and visual_cond is None:
+            logging.warning(
+                "%s config requested conditioning but dataset samples did not expose 'image'.",
+                variant.capitalize(),
+            )
+
+    metrics_path = output_dir / "metrics.csv"
+    if mesh_lib.is_main_process() and not metrics_path.exists():
+        metrics_path.write_text("epoch,train_loss\n")
+
+    resume_flag = Path(resume) if resume else None
+    if resume_flag is None:
+        resume_from_cfg = training_cfg.get("resume")
+        if isinstance(resume_from_cfg, str) and resume_from_cfg.lower() != "none":
+            resume_flag = Path(resume_from_cfg)
+    start_epoch, best_metric = 1, float("inf")
+    if resume_flag:
+        payload = ckpt_utils.load_checkpoint(resume_flag)
+        params = jax.tree_util.tree_map(jnp.asarray, payload["model"])
+        params = mesh_lib.replicate(mesh, params)
+        if payload.get("optimizer") is not None:
+            opt_state = mesh_lib.replicate(mesh, payload["optimizer"])
+        start_epoch = int(payload.get("epoch", 0)) + 1
+        best_metric = float(payload.get("best_metric", float("inf")))
+        logging.info("Resumed from %s at epoch %d", resume_flag, start_epoch)
+
+    rng = jax.random.PRNGKey(seed + 17)
+    prefix = spec["prefix"]
+
+    for epoch in range(start_epoch, epochs + 1):
+        epoch_loss = 0.0
+        num_samples = 0
+        t0 = time.perf_counter()
+        n_steps = 0
+        for batch in epoch_batches(
+            dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        ):
+            if not (conditioning_mode in {"concatenate", "attention"}):
+                batch = dict(batch)
+                batch["image"] = None
+            placed = {
+                "target": mesh_lib.shard_batch(mesh, jnp.asarray(batch["target"])),
+                "image": mesh_lib.shard_batch(mesh, jnp.asarray(batch["image"])) if batch.get("image") is not None else None,
+                "valid": mesh_lib.shard_batch(mesh, jnp.asarray(batch["valid"])),
+            }
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, loss_sum, count = train_step(params, opt_state, placed, step_rng)
+            epoch_loss += float(loss_sum)
+            num_samples += int(count)
+            n_steps += 1
+            if max_steps_per_epoch is not None and n_steps >= max_steps_per_epoch:
+                break
+
+        avg_loss = epoch_loss / max(num_samples, 1)
+        if mesh_lib.is_main_process():
+            logging.info(
+                "%s Epoch %03d | loss %.6f | %.1f samples/s",
+                variant.capitalize(), epoch, avg_loss,
+                num_samples / max(time.perf_counter() - t0, 1e-9),
+            )
+
+        current_metric = avg_loss
+        state = {
+            "model": jax.tree_util.tree_map(np.asarray, params),
+            "optimizer": jax.tree_util.tree_map(np.asarray, opt_state),
+            "lr_scheduler": {"last_epoch": epoch},
+            "scaler": None,
+            "epoch": epoch,
+            "best_metric": best_metric,
+        }
+
+        if mesh_lib.is_main_process():
+            ckpt_utils.save_checkpoint(state, output_dir / f"{prefix}_last.pt")
+            if current_metric < best_metric:
+                best_metric = current_metric
+                state["best_metric"] = best_metric
+                ckpt_utils.save_checkpoint(state, output_dir / f"{prefix}_best.pt")
+                logging.info("New best %s loss %.6f -> %s", variant, best_metric, output_dir / f"{prefix}_best.pt")
+            if epoch % save_model_epochs == 0 or epoch == epochs:
+                epoch_dir = output_dir / "epochs" / f"epoch{epoch:04d}"
+                ckpt_utils.save_checkpoint(state, epoch_dir / "epoch.pt")
+        best_metric = min(best_metric, current_metric)
+
+        save_samples = (
+            visual_enabled
+            and mesh_lib.is_main_process()
+            and visual_targets is not None
+            and (epoch % visual_every == 0 or epoch == epochs)
+        )
+        if save_samples:
+            rng, vis_rng = jax.random.split(rng)
+            outputs = decode_diffusion_batch(
+                model, params, training_cfg, cfg["model"],
+                tuple(visual_targets.shape),
+                visual_cond if conditioning_mode in {"concatenate", "attention"} else None,
+                rng=vis_rng,
+            )
+            vis = np.clip(np.asarray(outputs), 0.0, 1.0)
+            input_vis = np.asarray(visual_cond) if visual_cond is not None else np.asarray(visual_targets)
+            rows = max(1, int(math.sqrt(vis.shape[0])))
+            cols = max(1, vis.shape[0] // rows)
+            save_image(make_grid(input_vis, rows, cols), output_dir / "visuals" / f"epoch{epoch:04d}_input.png")
+            save_image(make_grid(vis, rows, cols), output_dir / "visuals" / f"epoch{epoch:04d}_output.png")
+            save_image(make_grid(np.asarray(visual_targets), rows, cols), output_dir / "visuals" / f"epoch{epoch:04d}_target.png")
+
+        if mesh_lib.is_main_process():
+            with metrics_path.open("a") as handle:
+                handle.write(f"{epoch},{avg_loss:.6f}\n")
+
+    return output_dir
+
+
+def debug_visual_only(dataset, json_path, ckpt_path, *, output_dir=None,
+                      visual_samples: int = 10, seed: Optional[int] = None,
+                      variant: str = "diffusion") -> Path:
+    """Load a checkpoint and run train-like visual generation only
+    (reference diffusion_lib.py:254-326)."""
+    from fmdm_tpu.data.dataset_utils import save_output_tensor
+
+    spec = VARIANTS[variant]
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s", force=True)
+    cfg = config_utils.load_json_config(json_path)
+    model_block = cfg.get("model")
+    if model_block is None:
+        raise ValueError("Config does not declare a 'model' section.")
+    if str(model_block.get("model_type", "")).lower() != spec["model_type"]:
+        raise ValueError(f"Expected model_type '{spec['model_type']}'.")
+
+    training_cfg = cfg["training"]
+    conditioning_mode = resolve_conditioning_mode(
+        training_cfg.get("conditioning") or model_block.get("conditioning")
+    )
+    use_seed = seed if seed is not None else training_cfg.get("seed")
+    config_utils.set_seed(use_seed)
+
+    model, params = build_diffusion_model(cfg, ckpt_path=Path(ckpt_path))
+    output_root = Path(output_dir) if output_dir is not None else (
+        Path(training_cfg.get("output_dir", f"checkpoints/{variant}")) / "debug_train_like"
+    )
+    output_root.mkdir(parents=True, exist_ok=True)
+
+    indices = select_visual_indices_list(dataset, int(visual_samples), use_seed)
+    visual_targets, visual_cond = prepare_diffusion_visual_batch(dataset, int(visual_samples), seed=use_seed)
+    if conditioning_mode in {"concatenate", "attention"} and visual_cond is None:
+        logging.warning("Config requested conditioning but dataset samples did not expose 'image'.")
+
+    outputs = decode_diffusion_batch(
+        model, params, training_cfg, cfg["model"], tuple(visual_targets.shape),
+        visual_cond if conditioning_mode in {"concatenate", "attention"} else None,
+        rng=jax.random.PRNGKey(int(use_seed or 0)),
+    )
+    vis = np.clip(np.asarray(outputs), 0.0, 1.0)
+
+    rows = max(1, int(math.sqrt(vis.shape[0])))
+    cols = max(1, vis.shape[0] // rows)
+    input_vis = np.asarray(visual_cond) if visual_cond is not None else np.asarray(visual_targets)
+    save_image(make_grid(input_vis, rows, cols), output_root / "grid_input.png")
+    save_image(make_grid(vis, rows, cols), output_root / "grid_output.png")
+    save_image(make_grid(np.asarray(visual_targets), rows, cols), output_root / "grid_target.png")
+
+    for b, idx in enumerate(indices):
+        row = dataset.data[idx] if hasattr(dataset, "data") else None
+        if row is None:
+            break
+        save_output_tensor(dataset, row, dataset.target_key, np.asarray(visual_targets[b]), output_root / "target")
+        save_output_tensor(dataset, row, dataset.target_key, vis[b], output_root / "generated")
+        if getattr(dataset, "conditioning_key", None) is not None and visual_cond is not None:
+            save_output_tensor(dataset, row, dataset.conditioning_key, np.asarray(visual_cond[b]), output_root / "conditioning")
+
+    logging.info("Debug visual-only generation completed for %d samples. Output: %s", len(indices), output_root)
+    print(f"Debug visual-only generation completed for {len(indices)} samples.")
+    print(f"Output directory: {output_root}")
+    return output_root
+
+
+def select_visual_indices_list(dataset, count, seed):
+    from fmdm_tpu.utils.evaluation import select_visual_indices
+
+    return select_visual_indices(dataset, count, seed=seed)

@@ -1,0 +1,155 @@
+"""
+Checkpointing with the reference's layout contract *and* torch interop.
+
+Layout parity (/root/reference SURVEY.md §5.4): run dirs contain
+``{vae|diff|flow}_last.pt``, ``{vae|diff|flow}_best.pt``,
+``epochs/epochXXXX/epoch.pt``; payload keys ``{model, optimizer, lr_scheduler,
+scaler, epoch, best_metric}`` (training_utils.py:198-202).
+
+Interop: because our parameter trees use torch ``state_dict`` names AND torch
+tensor layouts (OIHW conv kernels, (out,in) linear weights — see nn/module.py),
+``model`` is saved as a genuine torch state_dict via ``torch.save`` when torch
+is importable. Reference checkpoints load directly and vice versa. Optimizer
+state (optax pytree) is stored as a flattened numpy mapping under
+``optimizer``. Without torch the same payload is written as ``.npz`` with the
+identical filename.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from fmdm_tpu.nn.module import flatten_params, unflatten_params
+
+try:
+    import torch
+except Exception:  # pragma: no cover - torch is baked into this image
+    torch = None
+
+
+# ---------------------------------------------------------------------------
+# Optax-state <-> numpy mapping
+# ---------------------------------------------------------------------------
+
+def tree_to_numpy_map(tree) -> Dict[str, np.ndarray]:
+    """Flatten an arbitrary pytree to {json_keypath: ndarray} (restorable)."""
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    out = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+    out["__treedef__"] = np.frombuffer(pickle.dumps(treedef), dtype=np.uint8)
+    return out
+
+
+def numpy_map_to_tree(mapping: Dict[str, np.ndarray]):
+    treedef = pickle.loads(bytes(np.asarray(mapping["__treedef__"])))
+    leaves = [np.asarray(mapping[f"leaf_{i}"]) for i in range(len(mapping) - 1)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Save / load
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(state: Dict[str, Any], path) -> None:
+    """state: {"model": params pytree, "optimizer": optax state | None,
+    "epoch": int, "best_metric": float, ...}."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload: Dict[str, Any] = {}
+    for key, value in state.items():
+        if key == "model" and isinstance(value, dict):
+            flat = flatten_params(value)
+            if torch is not None:
+                payload["model"] = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in flat.items()}
+            else:
+                payload["model"] = {k: np.asarray(v) for k, v in flat.items()}
+        elif key in ("optimizer", "disc_optimizer", "lr_scheduler", "scaler", "extra_state") and value is not None:
+            payload[key] = tree_to_numpy_map(value)
+        else:
+            payload[key] = value
+    if torch is not None:
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        torch.save(payload, tmp)
+        tmp.replace(path)
+    else:
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        with tmp.open("wb") as fh:
+            pickle.dump(payload, fh)
+        tmp.replace(path)
+
+
+def load_checkpoint(path) -> Dict[str, Any]:
+    """Load a checkpoint saved by us or by the torch reference. Returns the
+    payload with ``model`` as a nested JAX-style param dict."""
+    path = Path(path)
+    payload = None
+    if torch is not None:
+        try:
+            payload = torch.load(path, map_location="cpu", weights_only=False)
+        except Exception:
+            payload = None
+    if payload is None:
+        with path.open("rb") as fh:
+            payload = pickle.load(fh)
+
+    out: Dict[str, Any] = {}
+    for key, value in payload.items():
+        if key == "model" and isinstance(value, dict):
+            flat = {}
+            for name, tensor in value.items():
+                if torch is not None and isinstance(tensor, torch.Tensor):
+                    flat[name] = np.asarray(tensor.detach().cpu().numpy())
+                else:
+                    flat[name] = np.asarray(tensor)
+            out["model"] = unflatten_params(flat)
+        elif isinstance(value, dict) and "__treedef__" in value:
+            out[key] = numpy_map_to_tree(value)
+        else:
+            out[key] = value
+    return out
+
+
+def load_model_params(path, expected: Optional[dict] = None) -> dict:
+    """Load just model params from a checkpoint (payload['model'] or a bare
+    state_dict), optionally validating shapes against ``expected``."""
+    payload = load_checkpoint(path)
+    params = payload.get("model")
+    if params is None:
+        # bare state_dict file
+        flat = {
+            k: np.asarray(v.detach().cpu().numpy() if torch is not None and isinstance(v, torch.Tensor) else v)
+            for k, v in payload.items()
+            if not isinstance(v, dict)
+        }
+        params = unflatten_params(flat)
+    if expected is not None:
+        exp_flat = flatten_params(expected)
+        got_flat = flatten_params(params)
+        mismatched = [
+            f"{k}: ckpt={got_flat[k].shape} model={exp_flat[k].shape}"
+            for k in exp_flat
+            if k in got_flat and tuple(got_flat[k].shape) != tuple(exp_flat[k].shape)
+        ]
+        missing = [k for k in exp_flat if k not in got_flat]
+        if mismatched or missing:
+            raise RuntimeError(
+                f"Checkpoint mismatch: missing={missing[:10]} shape_mismatch={mismatched[:10]}"
+            )
+    return params
+
+
+def latest_checkpoint(directory, prefix: str) -> Optional[Path]:
+    """Pick {prefix}_best.pt over {prefix}_last.pt (sampling_utils.py:131-167)."""
+    directory = Path(directory)
+    best = directory / f"{prefix}_best.pt"
+    last = directory / f"{prefix}_last.pt"
+    if best.exists():
+        return best
+    if last.exists():
+        return last
+    return None
