@@ -1,0 +1,83 @@
+"""
+Benchmark: the BASELINE.json north-star metric — denoise steps/sec/chip for a
+50-step DPM-Solver++ reverse process on the flagship 256² LDCT UNet
+(configs/LDCT/LDCT_ddpm_diffusers_nd.json architecture, concatenate
+conditioning), run on real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+``vs_baseline`` is null: the reference publishes no benchmark numbers
+(BASELINE.md — "published": {}), so there is no number to normalize against.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from fmdm_tpu.models.factories import DiffusionUNetFactory
+    from fmdm_tpu.schedulers import DPMSolverMultistepScheduler
+    from fmdm_tpu.sample.engine import SamplingEngine
+    from __graft_entry__ import FLAGSHIP_UNET
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    num_steps = 50
+
+    model = DiffusionUNetFactory().build(FLAGSHIP_UNET, conditioning="concatenate", channels=1)
+    params = model.init(jax.random.PRNGKey(0))
+    params = jax.device_put(params)
+
+    scheduler = DPMSolverMultistepScheduler.create(
+        num_train_timesteps=1000, algorithm_type="dpmsolver++", solver_order=2,
+        beta_start=0.0001, beta_end=0.02,
+    )
+    timesteps = scheduler.set_timesteps(num_steps)
+    engine = SamplingEngine(model, scheduler, timesteps, conditioning_mode="concatenate")
+
+    shape = (batch_size, 1, 256, 256)
+    cond = jnp.full(shape, 0.5, jnp.float32)
+    rng = jax.random.PRNGKey(1)
+
+    # Warmup (compile)
+    out = engine(params, shape, rng, conditioning_batch=cond)
+    out.block_until_ready()
+
+    # Timed runs
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = engine(params, shape, jax.random.fold_in(rng, i), conditioning_batch=cond)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    total_model_steps = iters * num_steps
+    steps_per_sec = total_model_steps / elapsed           # denoise steps/sec/chip
+    samples_per_sec = iters * batch_size / elapsed
+
+    print(json.dumps({
+        "metric": "denoise_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "samples_per_sec": round(samples_per_sec, 3),
+        "batch_size": batch_size,
+        "num_inference_steps": num_steps,
+        "scheduler": "dpmsolver++(order2)",
+        "resolution": 256,
+        "seconds_per_sample": round(elapsed / (iters * batch_size), 4),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -120,7 +120,13 @@ class BaseDataset:
             raise FileNotFoundError(f"Annotations file not found: {target_file}")
         if names is None:
             return pd.read_csv(target_file, sep="\t")
-        return pd.read_csv(target_file, sep="\t", names=names)
+        df = pd.read_csv(target_file, sep="\t", names=names)
+        # LDCT split files are headerless 3-column TSVs (the reference reads
+        # them with explicit names); tolerate files that carry a header row
+        # matching the column names by dropping it.
+        if len(df) and tuple(str(v) for v in df.iloc[0]) == tuple(names):
+            df = df.iloc[1:].reset_index(drop=True)
+        return df
 
     # -- preprocessing --------------------------------------------------------
     def preprocess(self, payload) -> np.ndarray:

@@ -87,6 +87,41 @@ class MNISTDataset:
             self.images = (self.images * 255).astype(np.uint8)
             self.synthetic = True
 
+        # Minimal row/writer surface so run_model --save works for MNIST too
+        # (the reference's MNISTDataset lacks this and crashes on --save).
+        split = "train" if train else "test"
+        self.base_path = self.root
+        self.target_key = "target"
+        self.conditioning_key = None
+        self.data = [
+            {"target": f"{split}/{split}_{i}.png", "Case": None}
+            for i in range(len(self.images))
+        ]
+
+    def _cache_info(self, entry, row, key):
+        return None, 1
+
+    def save_output(self, row, key, tensor, output_root):
+        from fmdm_tpu.data.dataset_utils import cache_path_for_entry, save_tensor_cache, to_2d_image
+
+        entry = row.get(key)
+        out_path = cache_path_for_entry(self.base_path, output_root, entry)
+        if out_path is None:
+            return
+        arr = np.asarray(tensor, dtype=np.float32)
+        image2d = to_2d_image(arr)
+        if image2d is not None:
+            try:
+                from PIL import Image as PILImage
+
+                png_path = out_path.with_suffix(".png")
+                png_path.parent.mkdir(parents=True, exist_ok=True)
+                PILImage.fromarray(image2d, mode="L").save(png_path)
+                return
+            except Exception:
+                pass
+        save_tensor_cache(arr, out_path)
+
     def __len__(self) -> int:
         return len(self.images)
 

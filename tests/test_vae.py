@@ -1,0 +1,226 @@
+"""VAE stack tests: encoder/decoder shapes, DiagonalGaussian math, quantizers
+(straight-through + EMA update vs numpy reference math), model round-trips,
+and a KL/VQ train e2e smoke with the GAN loss enabled."""
+
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fmdm_tpu.nn.vae_modules import (
+    Decoder,
+    DiagonalGaussian,
+    Encoder,
+    MagvitDiscriminatorND,
+    PatchDiscriminator,
+    VectorQuantizer,
+    VectorQuantizerEMA,
+)
+from fmdm_tpu.models.vae import AutoencoderKL, VQVAE
+from fmdm_tpu.models.factories import VAEFactory
+from fmdm_tpu.nn.module import flatten_params
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_encoder_decoder_shapes():
+    enc = Encoder(in_channels=1, base_ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                  resolution=32, z_channels=2, double_z=True, use_attention=True)
+    dec = Decoder(out_ch=1, base_ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                  resolution=32, z_channels=2, use_attention=True)
+    ep = enc.init(KEY)
+    dp = dec.init(KEY)
+    x = jax.random.normal(KEY, (2, 1, 32, 32))
+    moments = enc(ep, x)
+    assert moments.shape == (2, 4, 16, 16)  # 2*z_channels, res/2
+    z = jax.random.normal(KEY, (2, 2, 16, 16))
+    rec = dec(dp, z)
+    assert rec.shape == (2, 1, 32, 32)
+    # torch state_dict naming (encoder.py:63-123)
+    flat = flatten_params(ep)
+    for name in ["conv_in.conv.weight", "downs.0.blocks.0.norm1.weight",
+                 "downs.0.down.op.conv.weight", "mid_block1.conv1.conv.weight",
+                 "mid_attn.qkv.weight", "norm_out.weight", "conv_out.conv.bias"]:
+        assert name in flat, f"missing {name}"
+
+
+def test_diagonal_gaussian():
+    params = jnp.concatenate([jnp.zeros((2, 3, 4, 4)), jnp.zeros((2, 3, 4, 4))], axis=1)
+    g = DiagonalGaussian(params)
+    assert g.mode().shape == (2, 3, 4, 4)
+    # standard normal vs itself: KL = 0
+    np.testing.assert_allclose(np.asarray(g.kl()), 0.0, atol=1e-6)
+    s = g.sample(KEY)
+    assert s.shape == (2, 3, 4, 4)
+    # deterministic: sample == mode
+    gd = DiagonalGaussian(params, deterministic=True)
+    np.testing.assert_allclose(np.asarray(gd.sample(KEY)), np.asarray(gd.mode()))
+    # nll of the mean of a unit gaussian = 0.5*D*log(2*pi)
+    nll = np.asarray(g.nll(jnp.zeros((2, 3, 4, 4))))
+    np.testing.assert_allclose(nll, 0.5 * 48 * math.log(2 * math.pi), rtol=1e-5)
+
+
+@pytest.mark.parametrize("cls", [VectorQuantizer, VectorQuantizerEMA])
+def test_quantizer_basic(cls):
+    q = cls(num_embeddings=16, embedding_dim=4)
+    params = q.init(KEY)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8))
+    out = q(params, z, train=False)
+    assert out.quantized.shape == z.shape
+    assert out.codes.shape == (2, 8, 8)
+    assert float(out.perplexity) > 0
+    # straight-through: gradient wrt z of sum(quantized) == ones
+    grad = jax.grad(lambda z_: jnp.sum(q(params, z_, train=False).quantized))(z)
+    np.testing.assert_allclose(np.asarray(grad), np.ones_like(grad), atol=1e-6)
+
+
+def test_quantizer_ema_update_math():
+    q = VectorQuantizerEMA(num_embeddings=4, embedding_dim=2, decay=0.9, eps=1e-5)
+    params = q.init(KEY)
+    params["ema_w"] = params["embedding"]
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 4, 4))
+    out = q(params, z, train=True)
+    assert out.new_state is not None
+    # numpy replication of codebook.py:126-135
+    flat = np.asarray(jnp.transpose(z, (0, 2, 3, 1)).reshape(-1, 2))
+    emb = np.asarray(params["embedding"])
+    d = (flat**2).sum(1, keepdims=True) + (emb**2).sum(1) - 2 * flat @ emb.T
+    idx = d.argmin(1)
+    onehot = np.eye(4)[idx]
+    cs = np.asarray(params["ema_cluster_size"]) * 0.9 + onehot.sum(0) * 0.1
+    ema_w = np.asarray(params["ema_w"]) * 0.9 + (onehot.T @ flat) * 0.1
+    n = cs.sum()
+    cluster = (cs + 1e-5) / (n + 4 * 1e-5) * n
+    new_emb = ema_w / cluster[:, None]
+    np.testing.assert_allclose(np.asarray(out.new_state["embedding"]), new_emb, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.new_state["ema_cluster_size"]), cs, rtol=1e-4)
+
+
+def test_autoencoder_kl_roundtrip():
+    model = AutoencoderKL(in_channels=1, out_channels=1, resolution=32, base_ch=8,
+                          ch_mult=(1, 2), num_res_blocks=1, z_channels=2, embed_dim=2,
+                          use_attention=False)
+    params = model.init(KEY)
+    x = jax.random.uniform(KEY, (2, 1, 32, 32))
+    rec, posterior = model(params, x, sample_posterior=True, rng=jax.random.PRNGKey(3))
+    assert rec.shape == x.shape
+    assert posterior.mode().shape == (2, 2, 16, 16)
+    lat = model.encode(params, x, normalize=True)
+    assert lat.shape == (2, 2, 16, 16)
+    dec = model.decode(params, lat, denorm=True)
+    assert dec.shape == x.shape
+
+
+@pytest.mark.parametrize("quantizer_type", ["classic", "ema"])
+def test_vqvae_roundtrip(quantizer_type):
+    model = VQVAE(in_channels=1, out_channels=1, resolution=32, base_ch=8,
+                  ch_mult=(1, 2), num_res_blocks=1, z_channels=2, embed_dim=2,
+                  codebook_size=32, use_attention=False, quantizer_type=quantizer_type)
+    params = model.init(KEY)
+    if quantizer_type == "ema":
+        np.testing.assert_allclose(np.asarray(params["codebook"]["ema_w"]),
+                                   np.asarray(params["codebook"]["embedding"]))
+    x = jax.random.uniform(KEY, (2, 1, 32, 32))
+    rec, aux = model(params, x, train=True)
+    assert rec.shape == x.shape
+    assert "vq_loss" in aux and "perplexity" in aux and "codes" in aux
+    if quantizer_type == "ema":
+        assert aux["ema_update"] is not None
+
+
+@pytest.mark.parametrize("disc_cls,in_size", [(PatchDiscriminator, 32), (MagvitDiscriminatorND, 32)])
+def test_discriminators(disc_cls, in_size):
+    d = disc_cls(in_channels=1, base_channels=8, spatial_dims=2)
+    params = d.init(KEY)
+    x = jax.random.normal(KEY, (2, 1, in_size, in_size))
+    y = d(params, x, train=True)
+    assert y.shape[0] == 2 and y.shape[1] == 1
+
+
+def _vae_cfg(tmp_path: Path, latent_type: str, extra_model=None, extra_training=None) -> Path:
+    model = {
+        "model_type": "vae",
+        "latent_type": latent_type,
+        "in_channels": 1,
+        "out_channels": 1,
+        "resolution": 32,
+        "base_ch": 8,
+        "ch_mult": [1, 2],
+        "num_res_blocks": 1,
+        "z_channels": 2,
+        "embed_dim": 2,
+        "use_attention": False,
+    }
+    training = {
+        "data_root": str(tmp_path / "data"),
+        "dataset": "mnist",
+        "output_dir": str(tmp_path / f"vae_{latent_type}"),
+        "batch_size": 8,
+        "epochs": 2,
+        "learning_rate": 1e-3,
+        "recon_type": "l1",
+        "kl_weight": 1e-4,
+        "gan_weight": 0.1,
+        "gan_start": 2,
+        "save_every": 1,
+        "save_images": True,
+        "save_images_every": 1,
+        "visual_samples": 4,
+        "img_size": 32,
+        "seed": 3,
+    }
+    if latent_type == "vq":
+        model["codebook_size"] = 32
+        training["reg_type"] = "vq"
+        training["codebook_weight"] = 1.0
+        training["kl_weight"] = 0.0
+    model.update(extra_model or {})
+    training.update(extra_training or {})
+    path = tmp_path / f"vae_{latent_type}.json"
+    path.write_text(json.dumps({"training": training, "model": model}, indent=2))
+    return path
+
+
+@pytest.mark.parametrize("latent_type,extra", [
+    ("kl", {}),
+    ("vq", {"quantizer_type": "ema"}),
+    ("vq", {"quantizer_type": "classic", "discriminator_type": "magvit"}),
+])
+def test_vae_train_e2e(tmp_path, latent_type, extra):
+    from tests.test_train_e2e import TinyMNIST
+    from fmdm_tpu.train.vae_lib import train
+    from fmdm_tpu.utils.checkpoint import load_checkpoint
+
+    cfg_path = _vae_cfg(tmp_path, latent_type, extra_model=extra)
+    ds = TinyMNIST(tmp_path / "data", train=True, img_size=32, n=16)
+    val = TinyMNIST(tmp_path / "data", train=False, img_size=32, n=8)
+    run_dir = train(ds, cfg_path, val_dataset=val)
+
+    assert (run_dir / "vae_last.pt").exists()
+    assert (run_dir / "vae_best.pt").exists()
+    assert (run_dir / "epochs" / "epoch0002" / "epoch.pt").exists()
+    assert (run_dir / "epochs" / "epoch0002" / "recon.png").exists()
+    assert (run_dir / "epochs" / "epoch0002" / "gen.png").exists()
+    metrics = (run_dir / "metrics.csv").read_text().strip().splitlines()
+    header = metrics[0].split(",")
+    assert header[:3] == ["epoch", "loss", "recon"]
+    if latent_type == "kl":
+        assert "kl" in header
+    else:
+        assert "vq" in header
+    assert "g_gan" in header and "d_gan" in header
+    assert len(metrics) == 3
+    payload = load_checkpoint(run_dir / "vae_last.pt")
+    assert payload["epoch"] == 2
+    # resume smoke
+    cfg = json.loads(cfg_path.read_text())
+    cfg["training"]["epochs"] = 3
+    cfg["training"]["output_dir"] = str(run_dir)
+    cfg_path.write_text(json.dumps(cfg))
+    run_dir2 = train(ds, cfg_path, val_dataset=val, resume=str(run_dir / "vae_last.pt"))
+    assert (run_dir2 / "metrics.csv").read_text().strip().splitlines()[-1].startswith("3,")
