@@ -180,7 +180,8 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
 
     discriminator = model.make_discriminator() if gan_weight > 0 else None
     disc_params = discriminator.init(jax.random.PRNGKey(seed + 1)) if discriminator else None
-    disc_lr = float(training_cfg.get("disc_lr", lr))
+    disc_lr_cfg = training_cfg.get("disc_lr")
+    disc_lr = float(disc_lr_cfg) if disc_lr_cfg is not None else lr
     disc_optimizer = optax.adamw(disc_lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0) if discriminator else None
     disc_opt_state = disc_optimizer.init(disc_params) if discriminator else None
 
