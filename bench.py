@@ -31,6 +31,8 @@ def main() -> None:
     from __graft_entry__ import FLAGSHIP_UNET
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    dtype_name = sys.argv[2] if len(sys.argv) > 2 else "bf16"
+    compute_dtype = jnp.bfloat16 if dtype_name == "bf16" else None
     num_steps = 50
 
     model = DiffusionUNetFactory().build(FLAGSHIP_UNET, conditioning="concatenate", channels=1)
@@ -42,7 +44,8 @@ def main() -> None:
         beta_start=0.0001, beta_end=0.02,
     )
     timesteps = scheduler.set_timesteps(num_steps)
-    engine = SamplingEngine(model, scheduler, timesteps, conditioning_mode="concatenate")
+    engine = SamplingEngine(model, scheduler, timesteps, conditioning_mode="concatenate",
+                            compute_dtype=compute_dtype)
 
     shape = (batch_size, 1, 256, 256)
     cond = jnp.full(shape, 0.5, jnp.float32)
@@ -73,6 +76,7 @@ def main() -> None:
         "batch_size": batch_size,
         "num_inference_steps": num_steps,
         "scheduler": "dpmsolver++(order2)",
+        "compute_dtype": dtype_name,
         "resolution": 256,
         "seconds_per_sample": round(elapsed / (iters * batch_size), 4),
         "device": str(jax.devices()[0]),

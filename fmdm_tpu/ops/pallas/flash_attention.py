@@ -1,0 +1,156 @@
+"""
+Pallas TPU flash-attention kernel.
+
+Replaces the XLA softmax-attention chain for long flattened-spatial token
+counts (the reference reaches these through SpatialSelfAttention /
+DiffusersAttentionND over up-to-256² grids; attention.py:41-44 uses fused SDPA
+on CUDA). Online-softmax tiling over KV blocks keeps the T×T score matrix out
+of HBM: per (batch*head, q-block) grid cell we stream K/V tiles through VMEM
+and carry running (max, sum, weighted-V) statistics — the standard
+flash-attention recurrence, with f32 accumulation on the MXU.
+
+Backward uses the saved (q, k, v, out, logsumexp) residuals with the exact
+attention gradient in XLA (training hot path defaults to the XLA forward; the
+Pallas kernel primarily accelerates the compiled sampling scan).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, block_k: int):
+    # blocks: q (1, block_q, d); k/v (1, T, d); o (1, block_q, d); lse (1, block_q, 1)
+    q = q_ref[0].astype(jnp.float32) * scale
+    kv_len = k_ref.shape[1]
+    num_kv = kv_len // block_k
+    block_q, d = q.shape
+
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m - m_new)
+        l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * correction + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)
+
+
+def _pad_to(x, axis, multiple):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x, size
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), size
+
+
+def _flash_forward(q, k, v, scale, block_q, block_k):
+    """q: (BH, Tq, D), k/v: (BH, Tk, D) -> (out, lse)."""
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    if tk % block_k != 0:
+        # Padding K would corrupt the softmax (padded keys get finite scores);
+        # callers fall back to the XLA path instead.
+        raise ValueError("flash_attention requires block_k to divide the KV length")
+    q, tq_real = _pad_to(q, 1, block_q)
+
+    grid = (bh, q.shape[1] // block_q)
+    interpret = jax.default_backend() != "tpu"
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, scale=scale, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tk, v.shape[-1]), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, q.shape[1], d), q.dtype),
+            jax.ShapeDtypeStruct((bh, q.shape[1], 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :tq_real], lse[:, :tq_real]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_3d(q, k, v, scale, block_q, block_k):
+    out, _ = _flash_forward(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k):
+    out, lse = _flash_forward(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd_rule(scale, block_q, block_k, res, g):
+    q, k, v, out, lse = res
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    s = jnp.einsum("bqd,bkd->bqk", qf * scale, kf)
+    p = jnp.exp(s - lse)  # exact softmax probabilities from saved lse
+    dv = jnp.einsum("bqk,bqd->bkd", p, gf)
+    dp = jnp.einsum("bqd,bkd->bqk", gf, vf)
+    delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
+    dk = jnp.einsum("bqk,bqd->bkd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_attention_3d.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Flash attention over (..., T, D) tensors (leading dims flattened)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    lead = q.shape[:-2]
+    tq, d = q.shape[-2:]
+    tk = k.shape[-2]
+    block_k_eff = min(block_k, tk)
+    if tk % block_k_eff != 0:
+        raise ValueError("flash_attention requires block_k to divide the KV length")
+    q3 = q.reshape((-1, tq, d))
+    k3 = k.reshape((-1, tk, d))
+    v3 = v.reshape((-1, tk, v.shape[-1]))
+    out = _flash_attention_3d(q3, k3, v3, float(scale), int(min(block_q, tq)), int(block_k_eff))
+    return out.reshape(lead + (tq, d))
