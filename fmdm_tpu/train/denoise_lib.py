@@ -87,6 +87,9 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
 
     mesh = mesh_lib.create_mesh()
     model, params = build_diffusion_model(cfg, ckpt_path=None, rng=jax.random.PRNGKey(seed))
+    from fmdm_tpu.utils.summary import summarize_model
+
+    summarize_model(params, model_block, training_cfg, name=variant)
     params = mesh_lib.replicate(mesh, params)
 
     scheduler, num_inference_steps = build_scheduler(scheduler_cfg, training_cfg)

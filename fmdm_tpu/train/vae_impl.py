@@ -165,6 +165,9 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     effective_codebook_weight = codebook_weight if codebook_active else 0.0
     is_vq = hasattr(model, "codebook")
     is_ema = is_vq and getattr(model, "quantizer_type", "") == "ema"
+    from fmdm_tpu.utils.summary import summarize_model
+
+    summarize_model(params, model_cfg, training_cfg, name="vae")
 
     steps_per_epoch = math.ceil(len(dataset) / batch_size)
     lr_schedule = _make_lr_schedule(lr, training_cfg, epochs, steps_per_epoch)

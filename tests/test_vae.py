@@ -217,10 +217,12 @@ def test_vae_train_e2e(tmp_path, latent_type, extra):
     assert len(metrics) == 3
     payload = load_checkpoint(run_dir / "vae_last.pt")
     assert payload["epoch"] == 2
-    # resume smoke
-    cfg = json.loads(cfg_path.read_text())
-    cfg["training"]["epochs"] = 3
-    cfg["training"]["output_dir"] = str(run_dir)
-    cfg_path.write_text(json.dumps(cfg))
-    run_dir2 = train(ds, cfg_path, val_dataset=val, resume=str(run_dir / "vae_last.pt"))
-    assert (run_dir2 / "metrics.csv").read_text().strip().splitlines()[-1].startswith("3,")
+    # resume smoke (KL only — the VQ variants exercise the same path and the
+    # extra recompile dominates CI time)
+    if latent_type == "kl":
+        cfg = json.loads(cfg_path.read_text())
+        cfg["training"]["epochs"] = 3
+        cfg["training"]["output_dir"] = str(run_dir)
+        cfg_path.write_text(json.dumps(cfg))
+        run_dir2 = train(ds, cfg_path, val_dataset=val, resume=str(run_dir / "vae_last.pt"))
+        assert (run_dir2 / "metrics.csv").read_text().strip().splitlines()[-1].startswith("3,")
