@@ -205,13 +205,15 @@ class EfficientUNetND(Module):
         x = self.pool(params.get("pool", {}), x)
         hs = []
         h = x
+        in_params = params.get("input_blocks", {})
+        out_params = params.get("output_blocks", {})
         for i, block in enumerate(self.input_blocks):
-            h = block(params["input_blocks"][str(i)], h, emb=emb, context=context_ca, **kwargs)
+            h = block(in_params.get(str(i), {}), h, emb=emb, context=context_ca, **kwargs)
             hs.append(h)
         h = self.middle_block(params["middle_block"], h, emb=emb, context=context_ca, **kwargs)
         for i, block in enumerate(self.output_blocks):
             h = jnp.concatenate([h, hs.pop()], axis=1)
-            h = block(params["output_blocks"][str(i)], h, emb=emb, context=context_ca, **kwargs)
+            h = block(out_params.get(str(i), {}), h, emb=emb, context=context_ca, **kwargs)
         h = self.out(params["out"], h)
         h = self.unpool(params.get("unpool", {}), h)
         return h

@@ -101,6 +101,23 @@ class ResBlockND(Module):
             return RMSNormND(channels)
         raise ValueError(f"Unsupported norm_type '{norm_type}'")
 
+    def _gn_act(self, norm: Module, p: Params, x: jax.Array,
+                scale=None, shift=None) -> jax.Array:
+        """GroupNorm(+FiLM)+SiLU via the fused Pallas kernel when applicable
+        (ops/pallas/group_norm.py); exact XLA fallback otherwise."""
+        if isinstance(norm, GroupNorm) and self.act is jax.nn.silu:
+            from fmdm_tpu.ops.pallas.group_norm import fused_group_norm_act
+
+            return fused_group_norm_act(
+                x, p["weight"], p["bias"], num_groups=norm.num_groups, eps=norm.eps,
+                act=True, scale=scale, shift=shift,
+            )
+        h = norm(p, x)
+        if scale is not None:
+            nd = x.ndim - 2
+            h = h * (1 + scale.reshape(scale.shape + (1,) * nd)) + shift.reshape(shift.shape + (1,) * nd)
+        return self.act(h)
+
     def __call__(
         self,
         params: Params,
@@ -111,8 +128,7 @@ class ResBlockND(Module):
         rng: Optional[jax.Array] = None,
         **kwargs,
     ) -> jax.Array:
-        h = self.norm1(params["norm1"], x)
-        h = self.act(h)
+        h = self._gn_act(self.norm1, params["norm1"], x)
         h = self.conv1(params["conv1"], h)
 
         scale = shift = None
@@ -121,16 +137,12 @@ class ResBlockND(Module):
                 raise ValueError("ResBlockND expects `emb` when emb_channels is set.")
             e = self.act(emb) if self.emb_activation_before_proj else emb
             emb_out = self.emb_layers(params["emb_layers"], e).astype(h.dtype)
-            emb_out = emb_out.reshape(emb_out.shape + (1,) * (h.ndim - emb_out.ndim))
             if self.use_scale_shift_norm:
-                scale, shift = jnp.split(emb_out, 2, axis=1)
+                scale, shift = jnp.split(emb_out, 2, axis=1)  # (N, C) each
             elif self.add_embedding_to_hidden:
-                h = h + emb_out
+                h = h + emb_out.reshape(emb_out.shape + (1,) * (h.ndim - emb_out.ndim))
 
-        h = self.norm2(params["norm2"], h)
-        if self.use_scale_shift_norm and self.uses_embedding:
-            h = h * (1 + scale) + shift
-        h = self.act(h)
+        h = self._gn_act(self.norm2, params["norm2"], h, scale=scale, shift=shift)
         h = dropout(h, self.dropout_rate, rng=rng, train=train)
         h = self.conv2(params["conv2"], h)
         return self.skip_connection(params.get("skip_connection", {}), x) + h
