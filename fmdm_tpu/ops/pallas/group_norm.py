@@ -47,8 +47,12 @@ def _xla_reference(x, weight, bias, scale, shift, num_groups, eps, act):
 
 
 def _kernel(x_ref, w_ref, b_ref, scale_ref, shift_ref, o_ref, *, cg: int, eps: float, act: bool,
-            has_film: bool):
-    # x block: (1, R, 128) where R = cg * spatial/128 (channel-major rows)
+            has_film: bool, num_groups: int):
+    # x block: (1, R, 128) where R = cg * spatial/128 (channel-major rows).
+    # w/b blocks: full (G, cg); scale/shift: full (N*G, cg). Indexed by pid
+    # in-kernel (per-group blocks would violate the (8, 128) tiling rule).
+    pid = pl.program_id(0)
+    g = jax.lax.rem(pid, num_groups)
     xf = x_ref[0].astype(jnp.float32)
     r = xf.shape[0]
     rows_per_ch = r // cg
@@ -56,16 +60,24 @@ def _kernel(x_ref, w_ref, b_ref, scale_ref, shift_ref, o_ref, *, cg: int, eps: f
     var = jnp.mean(jnp.square(xf)) - mean * mean
     inv = jax.lax.rsqrt(var + eps)
 
-    w = w_ref[0].astype(jnp.float32)          # (cg,)
-    b = b_ref[0].astype(jnp.float32)
-    w_rows = jnp.repeat(w, rows_per_ch)[:, None]   # (R, 1)
-    b_rows = jnp.repeat(b, rows_per_ch)[:, None]
+    # Per-channel row expansion via a static select loop: Mosaic rejects
+    # sublane-dim repeat/broadcast-reshape of tiny vectors, but scalar reads
+    # + vectorized where() lower cleanly (cg is small: C/num_groups).
+    ch_ids = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) // rows_per_ch
+    w_rows = jnp.zeros((r, 1), jnp.float32)
+    b_rows = jnp.zeros((r, 1), jnp.float32)
+    for cidx in range(cg):
+        sel = ch_ids == cidx
+        w_rows = jnp.where(sel, w_ref[g, cidx].astype(jnp.float32), w_rows)
+        b_rows = jnp.where(sel, b_ref[g, cidx].astype(jnp.float32), b_rows)
     y = (xf - mean) * inv * w_rows + b_rows
     if has_film:
-        s = scale_ref[0].astype(jnp.float32)
-        t = shift_ref[0].astype(jnp.float32)
-        s_rows = jnp.repeat(s, rows_per_ch)[:, None]
-        t_rows = jnp.repeat(t, rows_per_ch)[:, None]
+        s_rows = jnp.zeros((r, 1), jnp.float32)
+        t_rows = jnp.zeros((r, 1), jnp.float32)
+        for cidx in range(cg):
+            sel = ch_ids == cidx
+            s_rows = jnp.where(sel, scale_ref[pid, cidx].astype(jnp.float32), s_rows)
+            t_rows = jnp.where(sel, shift_ref[pid, cidx].astype(jnp.float32), t_rows)
         y = y * (1.0 + s_rows) + t_rows
     if act:
         y = y * jax.nn.sigmoid(y)
@@ -92,14 +104,15 @@ def _pallas_impl(x, weight, bias, scale, shift, num_groups, eps, act):
     grid = (n * num_groups,)
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        functools.partial(_kernel, cg=cg, eps=eps, act=act, has_film=has_film),
+        functools.partial(_kernel, cg=cg, eps=eps, act=act, has_film=has_film,
+                          num_groups=num_groups),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, rows, lanes), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, cg), lambda i: (i % num_groups, 0)),
-            pl.BlockSpec((1, cg), lambda i: (i % num_groups, 0)),
-            pl.BlockSpec((1, cg), (lambda i: (i, 0)) if has_film else (lambda i: (0, 0))),
-            pl.BlockSpec((1, cg), (lambda i: (i, 0)) if has_film else (lambda i: (0, 0))),
+            pl.BlockSpec(wg.shape, lambda i: (0, 0)),
+            pl.BlockSpec(bg.shape, lambda i: (0, 0)),
+            pl.BlockSpec(sg.shape, lambda i: (0, 0)),
+            pl.BlockSpec(tg.shape, lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, rows, lanes), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
@@ -160,7 +173,8 @@ def fused_group_norm_act(
         _ENABLED
         and num_groups >= 1
         and c % num_groups == 0
-        and (cg * spatial) % 128 == 0
+        and cg <= 32  # select-loop unroll bound
+        and spatial % 128 == 0  # channel boundaries must align to row tiles
         and (cg * spatial) // 128 >= 8
         and spatial * cg * 4 <= 8 * 1024 * 1024  # group block must fit VMEM
     )

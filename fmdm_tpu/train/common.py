@@ -56,6 +56,37 @@ def _stack_key(samples: List[dict], key: str) -> Optional[np.ndarray]:
     return np.stack([np.asarray(v, dtype=np.float32) for v in values], axis=0)
 
 
+def prefetch(iterator, depth: int = 2):
+    """Background-thread prefetch over a host batch iterator — the TPU
+    replacement for DataLoader worker processes (num_workers): sample loading
+    and numpy stacking overlap device execution."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list = []
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as exc:  # propagate into the consumer
+            err.append(exc)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def epoch_batches(
     dataset,
     batch_size: int,
@@ -108,6 +139,7 @@ def make_denoise_train_step(
     grad_accum: int = 1,
     compute_dtype=jnp.float32,
     mesh=None,
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -122,6 +154,11 @@ def make_denoise_train_step(
     from fmdm_tpu.sample.engine import normalize_latent_conditioning, prepare_attention_context
 
     num_train_timesteps = scheduler.num_train_timesteps
+    model_apply = (lambda p, x, t, context_ca=None: model(p, x, t, context_ca=context_ca))
+    if remat:
+        # trade FLOPs for HBM: rematerialize the UNet forward in the backward
+        # pass (training.remat: true) — enables larger per-chip batches.
+        model_apply = jax.checkpoint(model_apply)
 
     def chunk_loss(params, x0, cond, valid, rng):
         rng_noise, rng_t = jax.random.split(rng)

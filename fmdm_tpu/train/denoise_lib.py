@@ -147,10 +147,12 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         num_samples = 0
         t0 = time.perf_counter()
         n_steps = 0
-        for batch in epoch_batches(
+        from fmdm_tpu.train.common import prefetch
+
+        for batch in prefetch(epoch_batches(
             dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
             process_index=jax.process_index(), process_count=jax.process_count(),
-        ):
+        )):
             if not (conditioning_mode in {"concatenate", "attention"}):
                 batch = dict(batch)
                 batch["image"] = None
