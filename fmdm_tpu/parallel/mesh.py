@@ -24,6 +24,16 @@ def create_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mes
     return Mesh(np.array(devices), (axis_name,))
 
 
+def create_mesh_for_batch(batch_size: int, axis_name: str = "data") -> Mesh:
+    """Data mesh over the largest device count that divides the batch size
+    (batch-dim sharding requires divisibility; small smoke configs may use
+    fewer devices than are available)."""
+    n = len(jax.devices())
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return create_mesh(n, axis_name)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim across the mesh."""
     return NamedSharding(mesh, P(axis_name))

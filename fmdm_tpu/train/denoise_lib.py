@@ -85,7 +85,7 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     if not cfg_path.exists():
         config_utils.save_json_config(cfg_path, cfg)
 
-    mesh = mesh_lib.create_mesh()
+    mesh = mesh_lib.create_mesh_for_batch(batch_size)
     model, params = build_diffusion_model(cfg, ckpt_path=None, rng=jax.random.PRNGKey(seed))
     from fmdm_tpu.utils.summary import summarize_model
 

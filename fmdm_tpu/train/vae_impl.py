@@ -157,7 +157,7 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     if mesh_lib.is_main_process() and not metrics_path.exists():
         metrics_path.write_text("epoch," + ",".join(metrics_keys) + "\n")
 
-    mesh = mesh_lib.create_mesh()
+    mesh = mesh_lib.create_mesh_for_batch(batch_size)
     model, params = build_vae_model(cfg, ckpt_path=None, rng=jax.random.PRNGKey(seed))
     model_cfg = cfg.get("model", {})
     latent_type = str(model_cfg.get("latent_type", "kl")).lower()
