@@ -78,6 +78,25 @@ def pad_batch_to_multiple(arrays, multiple: int):
     return _pad(arrays), real
 
 
+def maybe_initialize_distributed() -> None:
+    """Multi-host init (the torch.distributed/torchrun analogue,
+    SURVEY.md §5.8): call jax.distributed.initialize() when a coordinator is
+    configured via env (JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES or a TPU
+    pod runtime); single-process runs are a no-op."""
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized by the runtime
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if coord and nproc and int(nproc) > 1:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", 0)),
+        )
+
+
 def is_main_process() -> bool:
     return jax.process_index() == 0
 

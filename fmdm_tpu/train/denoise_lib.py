@@ -142,6 +142,8 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     rng = jax.random.PRNGKey(seed + 17)
     prefix = spec["prefix"]
 
+    profile_dir = training_cfg.get("profile_dir")
+
     for epoch in range(start_epoch, epochs + 1):
         epoch_loss = 0.0
         num_samples = 0
@@ -149,10 +151,24 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         n_steps = 0
         from fmdm_tpu.train.common import prefetch
 
-        for batch in prefetch(epoch_batches(
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.start_trace(str(profile_dir))
+
+        batch_iter = prefetch(epoch_batches(
             dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
             process_index=jax.process_index(), process_count=jax.process_count(),
-        )):
+        ))
+        try:
+            from tqdm import tqdm
+
+            total_b = math.ceil(math.ceil(len(dataset) / jax.process_count()) / batch_size)
+            batch_iter = tqdm(batch_iter, total=total_b, desc=f"Train {epoch}/{epochs}",
+                              leave=False, dynamic_ncols=True,
+                              disable=not mesh_lib.is_main_process())
+        except ImportError:
+            pass
+
+        for batch in batch_iter:
             if not (conditioning_mode in {"concatenate", "attention"}):
                 batch = dict(batch)
                 batch["image"] = None
@@ -166,8 +182,13 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             epoch_loss += float(loss_sum)
             num_samples += int(count)
             n_steps += 1
+            if hasattr(batch_iter, "set_postfix"):
+                batch_iter.set_postfix(loss=f"{epoch_loss / max(num_samples, 1):.4f}")
             if max_steps_per_epoch is not None and n_steps >= max_steps_per_epoch:
                 break
+
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
 
         avg_loss = epoch_loss / max(num_samples, 1)
         if mesh_lib.is_main_process():
