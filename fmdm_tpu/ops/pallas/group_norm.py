@@ -91,15 +91,17 @@ def _pallas_impl(x, weight, bias, scale, shift, num_groups, eps, act):
     lanes = 128
     rows = cg * spatial // lanes
     x2 = x.reshape(n * num_groups, rows, lanes)
-    wg = weight.reshape(num_groups, cg)
-    bg = bias.reshape(num_groups, cg)
+    # Mosaic only supports 32-bit scalar extracts; the tiny affine tables go
+    # through in f32 regardless of the activation dtype.
+    wg = weight.reshape(num_groups, cg).astype(jnp.float32)
+    bg = bias.reshape(num_groups, cg).astype(jnp.float32)
     has_film = scale is not None
     if has_film:
-        sg = scale.reshape(n, num_groups, cg).reshape(n * num_groups, cg)
-        tg = shift.reshape(n, num_groups, cg).reshape(n * num_groups, cg)
+        sg = scale.reshape(n, num_groups, cg).reshape(n * num_groups, cg).astype(jnp.float32)
+        tg = shift.reshape(n, num_groups, cg).reshape(n * num_groups, cg).astype(jnp.float32)
     else:
-        sg = jnp.zeros((1, cg), x.dtype)
-        tg = jnp.zeros((1, cg), x.dtype)
+        sg = jnp.zeros((1, cg), jnp.float32)
+        tg = jnp.zeros((1, cg), jnp.float32)
 
     grid = (n * num_groups,)
     interpret = jax.default_backend() != "tpu"

@@ -84,3 +84,17 @@ def resize_bilinear(x: jax.Array, size: Tuple[int, ...]) -> jax.Array:
     nd = x.ndim - 2
     method = "linear" if nd == 1 else ("bilinear" if nd == 2 else "trilinear")
     return jax.image.resize(x, x.shape[:2] + tuple(size), method=method)
+
+
+def run_self_tests() -> None:
+    """Embedded self-test mirroring reference upsampling.py:65-106 shapes."""
+    import jax
+
+    for nd, shape in {1: (2, 6, 33), 2: (2, 6, 33, 35), 3: (1, 4, 17, 21, 19)}.items():
+        x = jax.random.normal(jax.random.PRNGKey(0), shape)
+        up = upsample_nearest(x, 2)
+        assert up.shape == shape[:2] + tuple(s * 2 for s in shape[2:])
+        avg = avg_pool_nd(x, 2, 2)
+        assert avg.shape == shape[:2] + tuple(s // 2 for s in shape[2:])
+        mx = max_pool_nd(x, 2, 2)
+        assert mx.shape == avg.shape

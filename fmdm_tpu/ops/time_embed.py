@@ -34,3 +34,17 @@ def timestep_embedding(
     if dim % 2:
         embedding = jnp.concatenate([embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
     return embedding
+
+
+def run_self_tests() -> None:
+    """Embedded self-test (reference test tier 1, SURVEY.md §4)."""
+    import numpy as np
+
+    t = jnp.array([0.0, 1.0, 500.0])
+    for dim in (8, 9, 32):
+        emb = timestep_embedding(t, dim)
+        assert emb.shape == (3, dim)
+        # t=0: sin=0, cos=1 -> after flip, first half all cos(0)=1
+        np.testing.assert_allclose(np.asarray(emb[0, : dim // 2]), 1.0, atol=1e-6)
+    no_flip = timestep_embedding(t, 8, flip_sin_to_cos=False)
+    np.testing.assert_allclose(np.asarray(no_flip[0, :4]), 0.0, atol=1e-6)

@@ -110,3 +110,15 @@ def resolve_scheduler_override(name: Optional[str]) -> Optional[Dict]:
         return {"name": key}
     available = ", ".join(sorted(alias.keys()))
     raise ValueError(f"Unknown scheduler override '{name}'. Available: {available}")
+
+
+def run_self_tests() -> None:
+    """Embedded self-test: registry names + alias resolution parity."""
+    assert set(SCHEDULER_REGISTRY) == {
+        "ddpm", "ddim", "dpm_multistep", "dpm_sde", "unipc",
+        "flow_match_euler", "flowmatch",
+    }
+    assert resolve_scheduler_override("dpmsolver1")["params"]["solver_order"] == 1
+    assert resolve_scheduler_override("dpmsolversde") == {"name": "dpm_sde"}
+    sched, n = build_scheduler({"name": "ddim"}, {"num_inference_steps": 7})
+    assert n == 7
