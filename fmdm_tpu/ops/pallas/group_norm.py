@@ -28,7 +28,12 @@ from jax.experimental import pallas as pl
 
 from fmdm_tpu.ops.norm import group_norm as _xla_group_norm
 
-_ENABLED = True
+# Default OFF: measured on v5e (BENCHMARKS.md), XLA's own GN fusion (stats
+# pass + normalize fused into conv epilogues) beats this kernel on the
+# flagship UNet — the pallas_call boundary blocks producer/consumer fusion
+# (3.76 -> 1.62 samples/s at bf16 batch 8). Kept as an opt-in building block;
+# revisit with a conv+GN megakernel rather than a standalone GN.
+_ENABLED = False
 
 
 def set_fused_group_norm(enabled: bool) -> None:

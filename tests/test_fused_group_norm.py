@@ -19,6 +19,16 @@ def _ref(x, w, b, groups, eps, act, scale=None, shift=None):
     return out
 
 
+import fmdm_tpu.ops.pallas.group_norm as gn_mod
+
+
+@pytest.fixture(autouse=True)
+def _enable_fused():
+    gn_mod.set_fused_group_norm(True)
+    yield
+    gn_mod.set_fused_group_norm(False)
+
+
 @pytest.mark.parametrize("shape,groups", [
     ((2, 32, 16, 16), 8),   # cg*S = 4*256 = 1024 -> tiles
     ((1, 64, 32, 32), 32),  # cg*S = 2*1024
@@ -90,5 +100,5 @@ def test_resblock_uses_fusion_and_stays_exact():
         set_fused_group_norm(False)
         y_plain = np.asarray(block(params, x, emb))
     finally:
-        set_fused_group_norm(True)
+        set_fused_group_norm(False)
     np.testing.assert_allclose(y_fused, y_plain, rtol=2e-4, atol=2e-5)
