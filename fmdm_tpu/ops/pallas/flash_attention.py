@@ -54,7 +54,9 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, bloc
 
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)
+    # lse broadcast across the 128-lane dim (a (bq, 1) block would violate
+    # the TPU tile constraint); caller slices lane 0.
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (block_q_shape := m.shape[0], 128)).astype(jnp.float32)
 
 
 def _pad_to(x, axis, multiple):
@@ -89,15 +91,15 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, q.shape[1], d), q.dtype),
-            jax.ShapeDtypeStruct((bh, q.shape[1], 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, q.shape[1], 128), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v)
-    return out[:, :tq_real], lse[:, :tq_real]
+    return out[:, :tq_real], lse[:, :tq_real, :1]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
