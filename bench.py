@@ -30,7 +30,7 @@ def main() -> None:
     from fmdm_tpu.sample.engine import SamplingEngine
     from __graft_entry__ import FLAGSHIP_UNET
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     dtype_name = sys.argv[2] if len(sys.argv) > 2 else "bf16"
     compute_dtype = jnp.bfloat16 if dtype_name == "bf16" else None
     num_steps = 50

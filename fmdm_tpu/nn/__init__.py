@@ -35,3 +35,34 @@ from fmdm_tpu.nn.blocks import (
     UpsampleND,
 )
 from fmdm_tpu.nn.unet_blocks import DownBlock2DCompat, UNetMidBlock2DCompat, UpBlock2DCompat
+from fmdm_tpu.nn.compat import (
+    AvgPoolND,
+    ContextBlock,
+    LinearQKVAttention,
+    MaxPoolND,
+    QKVAttention,
+    TimestepBlock,
+    build_resblock_gn_silu,
+    build_resblock_gn_swish,
+    build_resblock_rmsnorm_silu,
+    build_resblock_rmsnorm_swish,
+    zero_module,
+)
+from fmdm_tpu.nn.vae_modules import (
+    Decoder,
+    DiagonalGaussian,
+    Encoder,
+    MagvitDiscriminator,
+    MagvitDiscriminatorND,
+    PatchDiscriminator,
+    VectorQuantizer,
+    VectorQuantizerEMA,
+)
+from fmdm_tpu.nn.losses import (
+    PerceptualLoss,
+    bce_focal_loss,
+    discriminator_hinge_loss,
+    focal_loss,
+    generator_hinge_loss,
+    vq_regularizer,
+)
