@@ -23,6 +23,14 @@ if str(REPO_ROOT) not in sys.path:
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the flagship program takes minutes to compile
+# through the remote-compile tunnel; cached executables make re-benchmarks fast.
+try:
+    jax.config.update("jax_compilation_cache_dir", str(REPO_ROOT / ".jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def main() -> None:
     from fmdm_tpu.models.factories import DiffusionUNetFactory
