@@ -11,6 +11,7 @@ from fmdm_tpu.utils.config import (
 from fmdm_tpu.utils.checkpoint import (
     latest_checkpoint,
     load_checkpoint,
+    maybe_load_checkpoint,
     load_model_params,
     save_checkpoint,
 )

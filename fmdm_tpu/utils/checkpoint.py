@@ -143,6 +143,21 @@ def load_model_params(path, expected: Optional[dict] = None) -> dict:
     return params
 
 
+def maybe_load_checkpoint(path) -> Tuple[int, float, Dict[str, Any]]:
+    """Generic resume helper (reference training_utils.py:235-256): returns
+    (start_epoch, best_metric, payload) from a checkpoint path, or
+    (1, inf, {}) when the path is falsy/missing."""
+    if not path:
+        return 1, float("inf"), {}
+    path = Path(path)
+    if not path.exists():
+        return 1, float("inf"), {}
+    payload = load_checkpoint(path)
+    start_epoch = int(payload.get("epoch", 0)) + 1
+    best_metric = float(payload.get("best_metric", float("inf")))
+    return start_epoch, best_metric, payload
+
+
 def latest_checkpoint(directory, prefix: str) -> Optional[Path]:
     """Pick {prefix}_best.pt over {prefix}_last.pt (sampling_utils.py:131-167)."""
     directory = Path(directory)
