@@ -192,3 +192,27 @@ def test_sampling_loop_under_scan():
     x = jax.random.normal(KEY, X0.shape)
     out = sample(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(X0), atol=2e-2)
+
+
+def test_ddim_eta_ancestral():
+    """eta > 0 draws noise but still converges with the oracle."""
+    sched = DDIMScheduler.create(num_train_timesteps=1000, eta=0.5)
+    out = _run_sampler(sched, _oracle_eps(sched), 50)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(X0), atol=5e-2)
+
+
+def test_v_prediction_paths():
+    """v-prediction oracle: v = sqrt(acp)*eps - sqrt(1-acp)*x0."""
+    for cls in (DDIMScheduler, DPMSolverMultistepScheduler):
+        sched = cls.create(num_train_timesteps=1000, prediction_type="v_prediction",
+                           clip_sample=False) if cls is DDIMScheduler else cls.create(
+            num_train_timesteps=1000, prediction_type="v_prediction")
+        acp = jnp.asarray(sched.alphas_cumprod, dtype=jnp.float32)
+
+        def model(x, t):
+            a = acp[t].reshape(-1, 1, 1, 1)
+            eps = (x - jnp.sqrt(a) * X0) / jnp.sqrt(1 - a)
+            return jnp.sqrt(a) * eps - jnp.sqrt(1 - a) * X0
+
+        out = _run_sampler(sched, model, 50)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(X0), atol=2e-2)
