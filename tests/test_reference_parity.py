@@ -260,3 +260,78 @@ def test_checkpoint_cross_load():
         ref_out = ref(torch.tensor(x), torch.tensor([7])).numpy()
     our_out = np.asarray(ours(jax.tree_util.tree_map(jnp.asarray, params), jnp.array(x), jnp.array([7])))
     np.testing.assert_allclose(our_out, ref_out, rtol=5e-4, atol=5e-5)
+
+
+def test_efficient_unet_pooled_parity():
+    """pool_factor patchify/unpatchify path parity."""
+    from models.unet.unet import EfficientUNetND as RefUNet
+    from fmdm_tpu.models.unet_efficient import EfficientUNetND
+
+    kwargs = dict(
+        spatial_dims=2, in_channels=2, model_channels=8, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(1,), channel_mult=(1, 2),
+        conv_resample=True, dim_head=8, num_heads=2, use_linear_attn=True,
+        use_scale_shift_norm=True, dropout=0.0, pool_factor=2,
+    )
+    torch.manual_seed(2)
+    ref = RefUNet(**kwargs)
+    ref.eval()
+    ours = EfficientUNetND(**kwargs)
+    params = _to_jax_params(ref)
+    x = np.random.RandomState(12).randn(1, 2, 16, 16).astype(np.float32)
+    t = np.array([0.3], dtype=np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x), torch.tensor(t)).numpy()
+    our_out = np.asarray(ours(params, jnp.array(x), jnp.array(t)))
+    np.testing.assert_allclose(our_out, ref_out, rtol=5e-4, atol=5e-5)
+
+
+def test_efficient_unet_cross_attention_parity():
+    from models.unet.unet import EfficientUNetND as RefUNet
+    from fmdm_tpu.models.unet_efficient import EfficientUNetND
+
+    kwargs = dict(
+        spatial_dims=2, in_channels=1, model_channels=8, out_channels=1,
+        num_res_blocks=1, attention_resolutions=(1,),
+        cross_attention_resolutions=(1,), cross_attention_dim=4,
+        channel_mult=(1, 2), conv_resample=True, dim_head=8, num_heads=2,
+        use_linear_attn=False, use_scale_shift_norm=True, dropout=0.0,
+    )
+    torch.manual_seed(3)
+    ref = RefUNet(**kwargs)
+    ref.eval()
+    ours = EfficientUNetND(**kwargs)
+    params = _to_jax_params(ref)
+    x = np.random.RandomState(13).randn(2, 1, 16, 16).astype(np.float32)
+    ctx = np.random.RandomState(14).randn(2, 4, 16, 16).astype(np.float32)
+    t = np.array([0.1, 0.7], dtype=np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x), torch.tensor(t), context_ca=torch.tensor(ctx)).numpy()
+    our_out = np.asarray(ours(params, jnp.array(x), jnp.array(t), context_ca=jnp.array(ctx)))
+    np.testing.assert_allclose(our_out, ref_out, rtol=5e-4, atol=5e-5)
+
+
+def test_unet_diffusers_cross_attention_parity():
+    from models.unet.unet_diffusers_nd import UNetDiffusersND as RefUNet
+    from fmdm_tpu.models.unet_diffusers import UNetDiffusersND
+
+    kwargs = dict(
+        in_channels=1, out_channels=1,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        mid_block_type="UNetMidBlock2DCrossAttn",
+        block_out_channels=(8, 16), layers_per_block=1, norm_num_groups=4,
+        cross_attention_dim=4,
+    )
+    torch.manual_seed(4)
+    ref = RefUNet(**kwargs)
+    ref.eval()
+    ours = UNetDiffusersND(**kwargs)
+    params = _to_jax_params(ref)
+    x = np.random.RandomState(15).randn(2, 1, 16, 16).astype(np.float32)
+    ctx = np.random.RandomState(16).randn(2, 4, 16, 16).astype(np.float32)
+    t = np.array([3, 40], dtype=np.int64)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x), torch.tensor(t), context_ca=torch.tensor(ctx)).numpy()
+    our_out = np.asarray(ours(params, jnp.array(x), jnp.array(t), context_ca=jnp.array(ctx)))
+    np.testing.assert_allclose(our_out, ref_out, rtol=5e-4, atol=5e-5)
