@@ -105,12 +105,16 @@ class SamplingEngine:
         conditioning_mode: Optional[str] = None,
         latent_norm: Optional[str] = None,
         compute_dtype=None,
+        mesh=None,
     ):
         self.model = model
         self.scheduler = scheduler
         self.timesteps = np.asarray(timesteps)
         self.conditioning_mode = conditioning_mode
         self.latent_norm = latent_norm
+        # Optional data-parallel sampling: batch sharded over the mesh 'data'
+        # axis, params replicated; XLA partitions the whole scan SPMD.
+        self.mesh = mesh
         # bf16 model compute with f32 scheduler math: the UNet runs on the MXU
         # in bf16 (2x matmul throughput + half the HBM traffic on v5e); the
         # sample itself and all scheduler tables stay f32 so multistep solver
@@ -179,6 +183,15 @@ class SamplingEngine:
         if self.conditioning_mode == "attention":
             cond = normalize_latent_conditioning(cond, self.latent_norm)
             cond = prepare_attention_context(cond)
+
+        if self.mesh is not None:
+            from fmdm_tpu.parallel.mesh import batch_sharding, replicate
+
+            sharding = batch_sharding(self.mesh)
+            current = jax.device_put(current, sharding)
+            if cond is not None:
+                cond = jax.device_put(cond, sharding)
+            params = replicate(self.mesh, params)
 
         start = time.perf_counter()
         out = self._jitted(params, current, cond, rng_steps)

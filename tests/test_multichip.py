@@ -1,0 +1,100 @@
+"""Multi-device paths on the virtual 8-device CPU mesh: data-parallel
+training step, data-parallel sampling, and grad-sync correctness."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fmdm_tpu.parallel.mesh import batch_sharding, create_mesh, create_mesh_for_batch, replicate, shard_batch
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(len(jax.devices()))
+
+
+def test_mesh_for_batch_divisibility():
+    assert len(create_mesh_for_batch(16).devices.flatten()) == 8
+    assert len(create_mesh_for_batch(6).devices.flatten()) == 6
+    assert len(create_mesh_for_batch(5).devices.flatten()) == 5
+    assert len(create_mesh_for_batch(1).devices.flatten()) == 1
+
+
+def test_data_parallel_sampling_matches_single_device():
+    """Engine output must be identical (up to f32 tolerance) with and without
+    batch sharding over the mesh."""
+    from fmdm_tpu.sample.engine import SamplingEngine
+    from fmdm_tpu.schedulers import DDIMScheduler
+    from tests.test_engine import _OracleModel
+
+    x0 = jnp.tile(jnp.linspace(0.2, 0.8, 16).reshape(1, 1, 4, 4), (8, 1, 1, 1))
+    sched = DDIMScheduler.create(num_train_timesteps=100)
+    model = _OracleModel(sched, x0)
+    ts = sched.set_timesteps(10)
+
+    single = SamplingEngine(model, sched, ts)
+    out_single = np.asarray(single({}, (8, 1, 4, 4), jax.random.PRNGKey(0)))
+
+    mesh = create_mesh()
+    sharded = SamplingEngine(model, sched, ts, mesh=mesh)
+    out_sharded = np.asarray(sharded({}, (8, 1, 4, 4), jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(out_sharded, out_single, rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_are_globally_synced():
+    """The whole point of the mesh DP train step: identical params after a
+    step regardless of device count (the reference's DDP never syncs grads —
+    SURVEY.md §2.2)."""
+    from fmdm_tpu.models.factories import DiffusionUNetFactory
+    from fmdm_tpu.schedulers import DDPMScheduler
+    from fmdm_tpu.train.common import make_adamw, make_denoise_train_step
+    from fmdm_tpu.nn.module import flatten_params
+
+    unet = {
+        "unet_impl": "diffusers_nd", "in_channels": 1, "out_channels": 1,
+        "layers_per_block": 1, "block_out_channels": [8, 8], "norm_num_groups": 4,
+        "down_block_types": ["DownBlock2D", "DownBlock2D"],
+        "up_block_types": ["UpBlock2D", "UpBlock2D"],
+    }
+    model = DiffusionUNetFactory().build(unet, None, 1)
+    init_params = model.init(jax.random.PRNGKey(0))
+    sched = DDPMScheduler.create(num_train_timesteps=20)
+    opt, _ = make_adamw(1e-2, 0.0, 0, 100)
+
+    batch = {
+        "target": jnp.tile(jnp.linspace(0, 1, 64).reshape(1, 1, 8, 8), (8, 1, 1, 1)),
+        "image": None,
+        "valid": jnp.ones((8,), jnp.float32),
+    }
+    rng = jax.random.PRNGKey(3)
+
+    results = []
+    for n_dev in (1, 8):
+        mesh = create_mesh(n_dev)
+        # the jitted step donates params/opt_state; give each run its own copy
+        params = replicate(mesh, jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), init_params))
+        opt_state = replicate(mesh, opt.init(params))
+        step = make_denoise_train_step(model, sched, opt, variant="diffusion",
+                                       conditioning_mode=None, latent_norm=None, mesh=mesh)
+        placed = {
+            "target": shard_batch(mesh, batch["target"]),
+            "image": None,
+            "valid": shard_batch(mesh, batch["valid"]),
+        }
+        new_params, _, loss_sum, count = step(params, opt_state, placed, rng)
+        results.append((jax.tree_util.tree_map(np.asarray, new_params), float(loss_sum), float(count)))
+
+    (p1, l1, c1), (p8, l8, c8) = results
+    assert c1 == c8 == 8
+    np.testing.assert_allclose(l1, l8, rtol=1e-4)
+    f1, f8 = flatten_params(p1), flatten_params(p8)
+    # Adam's rsqrt normalization amplifies f32 reduction-order noise near step 1;
+    # true missing grad-sync would diverge at O(lr)=1e-2, so atol=1e-3 separates
+    # the failure mode cleanly.
+    for k in f1:
+        np.testing.assert_allclose(f1[k], f8[k], rtol=5e-2, atol=1e-3, err_msg=k)
