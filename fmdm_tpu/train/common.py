@@ -183,7 +183,7 @@ def make_denoise_train_step(
             ctx = prepare_attention_context(normalize_latent_conditioning(cond, latent_norm))
             ctx = ctx.astype(compute_dtype)
 
-        pred = model(params, model_input, model_t, context_ca=ctx).astype(jnp.float32)
+        pred = model_apply(params, model_input, model_t, context_ca=ctx).astype(jnp.float32)
         per_sample = jnp.mean(
             jnp.square(pred - target), axis=tuple(range(1, x0.ndim))
         )

@@ -102,6 +102,7 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         model, scheduler, optimizer,
         variant=variant, conditioning_mode=conditioning_mode, latent_norm=latent_norm,
         grad_accum=grad_accum, compute_dtype=compute_dtype, mesh=mesh,
+        remat=bool(training_cfg.get("remat", False)),
     )
 
     visual_enabled = bool(training_cfg.get("save_images", False))
