@@ -121,6 +121,11 @@ class SamplingEngine:
         # state keeps full precision.
         self.compute_dtype = compute_dtype
         self._jitted: Optional[Callable] = None
+        # AOT-compiled executables per argument shape, so compilation happens
+        # OUTSIDE the timed region (the reference's timing dict measures model
+        # execution only, pipelines/utils.py:211-217 — torch eager has no
+        # compile to accidentally include; we must exclude ours explicitly).
+        self._compiled: Dict[Any, Any] = {}
 
     def _build(self):
         scheduler = self.scheduler
@@ -176,6 +181,7 @@ class SamplingEngine:
             self._jitted = self._build()
 
         rng_init, rng_steps = jax.random.split(rng)
+        del rng  # consumed
         current = init_sample if init_sample is not None else jax.random.normal(
             rng_init, sample_shape, dtype=jnp.float32
         )
@@ -193,8 +199,18 @@ class SamplingEngine:
                 cond = jax.device_put(cond, sharding)
             params = replicate(self.mesh, params)
 
+        # Ensure the executable exists before starting the clock: AOT-lower and
+        # compile once per argument-shape signature.
+        shape_key = (
+            tuple(current.shape), str(current.dtype),
+            None if cond is None else (tuple(cond.shape), str(cond.dtype)),
+        )
+        if shape_key not in self._compiled and timing is not None:
+            self._compiled[shape_key] = self._jitted.lower(params, current, cond, rng_steps).compile()
+        fn = self._compiled.get(shape_key, self._jitted)
+
         start = time.perf_counter()
-        out = self._jitted(params, current, cond, rng_steps)
+        out = fn(params, current, cond, rng_steps)
         out = jax.block_until_ready(out)
         if timing is not None:
             # Parity with the reference timing dict (pipelines/utils.py:211-217):
