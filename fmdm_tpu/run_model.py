@@ -30,6 +30,9 @@ def _resolve_handler(model_type: str):
 
 
 def main() -> None:
+    from fmdm_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s", force=True)
 
     parser = argparse.ArgumentParser(

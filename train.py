@@ -49,6 +49,9 @@ def dispatch_train(cfg_path: Path, resume) -> None:
 
 
 def main() -> None:
+    from fmdm_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description="Train models from JSON configs.")
     parser.add_argument("--config", type=Path, required=True, help="Path to JSON config.")
     parser.add_argument("--resume", type=str, default=None, help="Checkpoint path to resume from (optional).")
