@@ -23,7 +23,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
@@ -56,7 +55,7 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, bloc
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     # lse broadcast across the 128-lane dim (a (bq, 1) block would violate
     # the TPU tile constraint); caller slices lane 0.
-    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (block_q_shape := m.shape[0], 128)).astype(jnp.float32)
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (m.shape[0], 128)).astype(jnp.float32)
 
 
 def _pad_to(x, axis, multiple):
