@@ -270,20 +270,33 @@ def save_tensor_cache(array, cache_path: Path) -> None:
     container so reference tooling can read our caches and vice versa."""
     if cache_path is None:
         return
+    import tempfile
+
     cache_path = Path(cache_path)
     cache_path.parent.mkdir(parents=True, exist_ok=True)
-    tmp_path = cache_path.with_suffix(cache_path.suffix + ".tmp")
-    if _torch is not None:
-        _torch.save(_torch.from_numpy(np.ascontiguousarray(np.asarray(array, dtype=np.float32))), tmp_path)
-    else:
-        with tmp_path.open("wb") as fh:
-            pickle.dump(np.asarray(array, dtype=np.float32), fh)
+    # Unique tmp per writer: the reference uses one fixed '<name>.tmp', which
+    # concurrent DataLoader workers can interleave on; mkstemp removes that
+    # window entirely while keeping the atomic-rename publish.
+    fd, tmp_name = tempfile.mkstemp(prefix=cache_path.stem + ".", suffix=".tmp",
+                                    dir=str(cache_path.parent))
+    tmp_path = Path(tmp_name)
     try:
-        with open(tmp_path, "rb+") as handle:
-            os.fsync(handle.fileno())
-    except OSError:
-        pass
-    os.replace(tmp_path, cache_path)
+        with os.fdopen(fd, "wb") as fh:
+            if _torch is not None:
+                _torch.save(
+                    _torch.from_numpy(np.ascontiguousarray(np.asarray(array, dtype=np.float32))), fh
+                )
+            else:
+                pickle.dump(np.asarray(array, dtype=np.float32), fh)
+            fh.flush()
+            try:
+                os.fsync(fh.fileno())
+            except OSError:
+                pass
+        os.replace(tmp_path, cache_path)
+    except BaseException:
+        tmp_path.unlink(missing_ok=True)
+        raise
 
 
 def load_tensor_cache(cache_path: Path) -> np.ndarray:

@@ -115,3 +115,29 @@ def test_build_from_config_factory(tmp_path):
     )
     assert isinstance(ds, LDCTDataset)
     assert len(ds) == 3
+
+
+def test_concurrent_cache_writes_are_atomic(tmp_path):
+    """The tensor cache's tmp+fsync+rename write (dataset_utils.py:452-472
+    semantics) must survive concurrent writers — the reference's only
+    concurrency-safety mechanism (SURVEY.md §5.2)."""
+    import threading
+
+    from fmdm_tpu.data.dataset_utils import load_tensor_cache, save_tensor_cache
+
+    target = tmp_path / "cache" / "entry.pt"
+    arrays = [np.full((64, 64), float(i), np.float32) for i in range(8)]
+
+    def writer(i):
+        for _ in range(5):
+            save_tensor_cache(arrays[i], target)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    out = load_tensor_cache(target)
+    # whatever writer won, the file must be a complete, uncorrupted tensor
+    assert out.shape == (64, 64)
+    assert float(out.min()) == float(out.max())
