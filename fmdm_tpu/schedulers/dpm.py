@@ -34,6 +34,8 @@ class DPMSolverMultistepScheduler(Scheduler):
     algorithm_type: str = "dpmsolver++"
     prediction_type: str = "epsilon"
     lower_order_final: bool = True
+    clip_sample: bool = False
+    clip_sample_range: float = 1.0
     num_inference_steps: Optional[int] = None
 
     @classmethod
@@ -47,6 +49,8 @@ class DPMSolverMultistepScheduler(Scheduler):
         algorithm_type: str = "dpmsolver++",
         prediction_type: str = "epsilon",
         lower_order_final: bool = True,
+        clip_sample: bool = False,
+        clip_sample_range: float = 1.0,
         **_unused,
     ) -> "DPMSolverMultistepScheduler":
         if solver_order not in (1, 2):
@@ -62,6 +66,8 @@ class DPMSolverMultistepScheduler(Scheduler):
             algorithm_type=algorithm_type,
             prediction_type=prediction_type,
             lower_order_final=lower_order_final,
+            clip_sample=clip_sample,
+            clip_sample_range=clip_sample_range,
         )
 
     @property
@@ -121,6 +127,11 @@ class DPMSolverMultistepScheduler(Scheduler):
             eps = alpha_t * model_output + sigma_t * sample
         else:
             raise ValueError(f"Unknown prediction_type '{self.prediction_type}'")
+        if self.clip_sample:
+            # optional x0 stabilizer (off by default; diffusers' DPM solvers
+            # don't clip — DDIM's clip_sample is why it is far more robust on
+            # imperfect models, see BENCHMARKS.md sampler comparison)
+            x0 = jnp.clip(x0, -self.clip_sample_range, self.clip_sample_range)
         return eps if self.algorithm_type == "dpmsolver" else x0
 
     def step(

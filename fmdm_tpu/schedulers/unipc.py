@@ -33,6 +33,8 @@ class UniPCMultistepScheduler(Scheduler):
     predict_x0: bool = True
     prediction_type: str = "epsilon"
     lower_order_final: bool = True
+    clip_sample: bool = False
+    clip_sample_range: float = 1.0
     num_inference_steps: Optional[int] = None
 
     @classmethod
@@ -47,6 +49,8 @@ class UniPCMultistepScheduler(Scheduler):
         prediction_type: str = "epsilon",
         lower_order_final: bool = True,
         solver_type: str = "bh2",
+        clip_sample: bool = False,
+        clip_sample_range: float = 1.0,
         **_unused,
     ) -> "UniPCMultistepScheduler":
         if solver_order not in (1, 2):
@@ -62,6 +66,8 @@ class UniPCMultistepScheduler(Scheduler):
             predict_x0=predict_x0,
             prediction_type=prediction_type,
             lower_order_final=lower_order_final,
+            clip_sample=clip_sample,
+            clip_sample_range=clip_sample_range,
         )
 
     # -- shared sigma helpers (same convention as DPM-Solver) -----------------
@@ -111,6 +117,8 @@ class UniPCMultistepScheduler(Scheduler):
             eps = alpha_t * model_output + sigma_t * sample
         else:
             raise ValueError(f"Unknown prediction_type '{self.prediction_type}'")
+        if self.clip_sample:
+            x0 = jnp.clip(x0, -self.clip_sample_range, self.clip_sample_range)
         return x0 if self.predict_x0 else eps
 
     def _bh2_coeffs(self, h, r0):
