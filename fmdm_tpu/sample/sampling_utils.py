@@ -188,7 +188,7 @@ def progress_batches(dataset, batch_size: int, desc: str, indices=None):
     try:
         from tqdm import tqdm
 
-        iterator = tqdm(iterator, total=total_batches, desc=desc, leave=False, dynamic_ncols=True)
+        iterator = tqdm(iterator, total=total_batches, desc=desc, leave=False, dynamic_ncols=True, disable=None)
     except Exception:
         pass
     return iterator

@@ -163,9 +163,11 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             from tqdm import tqdm
 
             total_b = math.ceil(math.ceil(len(dataset) / jax.process_count()) / batch_size)
+            # disable=None lets tqdm auto-disable on non-TTY stderr (keeps
+            # redirected logs clean); non-main processes always disable.
             batch_iter = tqdm(batch_iter, total=total_b, desc=f"Train {epoch}/{epochs}",
                               leave=False, dynamic_ncols=True,
-                              disable=not mesh_lib.is_main_process())
+                              disable=(True if not mesh_lib.is_main_process() else None))
         except ImportError:
             pass
 
