@@ -210,15 +210,22 @@ class BaseDataset:
     def _cache_info(self, entry, row, key: Optional[str]):
         return None, 1
 
+    def _resolve_entry_path(self, path):
+        """Resolve split-file entries relative to the dataset root (the
+        reference resolves only in LDCT's index builder and silently depends
+        on CWD for BaseDataset; we do the obviously-intended thing)."""
+        p = Path(str(path))
+        return p if p.is_absolute() else self.base_path / p
+
     def _load_entry(self, entry, item_id):
         if isinstance(entry, list):
-            return load(entry, id=item_id)
+            return load([self._resolve_entry_path(p) for p in entry], id=item_id)
         if isinstance(entry, dict):
-            payload = load(entry["path"], id=item_id)
+            payload = load(self._resolve_entry_path(entry["path"]), id=item_id)
             window = int(entry.get("window", 1))
             start = int(entry.get("split_index", 0))
             return self._slice_payload(payload, start, window)
-        return load(entry, id=item_id)
+        return load(self._resolve_entry_path(entry), id=item_id)
 
     # -- output writer (base.py:341-362) ----------------------------------------
     def save_output(self, row: dict, key: str, tensor, output_root: Path) -> None:
