@@ -180,3 +180,8 @@ class DiffusionHandler(ModelHandler):
 class FlowMatchingHandler(ModelHandler):
     sampler_cls = DiffusionLikeSampler
     model_type = "flow_matching"
+
+
+# Reference alias (samplers/concrete exports AutoencoderSampler alongside
+# VAESampler)
+AutoencoderSampler = VAESampler
