@@ -16,9 +16,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_SDPA_BACKEND = "xla"  # "xla" | "pallas"
-# Pallas kernel pays off once the attention matrix stops fitting comfortably in
-# VMEM-sized tiles; below this token count plain XLA fusion is as fast.
+# Default "pallas": measured 8-17x faster than the XLA softmax chain on v5e at
+# >=1024 tokens (BENCHMARKS.md attention table); engages only on TPU and only
+# above the token threshold, with transparent XLA fallback otherwise.
+_SDPA_BACKEND = "pallas"  # "xla" | "pallas"
 _PALLAS_MIN_TOKENS = 1024
 
 
@@ -50,7 +51,11 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: Optional[float] = N
 
     Inputs are (..., T, d) / (..., S, d) / (..., S, d_v).
     """
-    if _SDPA_BACKEND == "pallas" and q.shape[-2] >= _PALLAS_MIN_TOKENS:
+    if (
+        _SDPA_BACKEND == "pallas"
+        and q.shape[-2] >= _PALLAS_MIN_TOKENS
+        and jax.default_backend() == "tpu"  # interpret mode off-TPU is slow
+    ):
         from fmdm_tpu.ops.pallas.flash_attention import flash_attention
 
         try:
