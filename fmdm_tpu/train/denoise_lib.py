@@ -76,6 +76,7 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     latent_norm = training_cfg.get("latent_norm")
     mixed = str(training_cfg.get("mixed_precision", "no")).lower()
     compute_dtype = jnp.bfloat16 if mixed in {"fp16", "bf16", "true"} else jnp.float32
+    ckpt_utils.set_checkpoint_backend(str(training_cfg.get("checkpoint_backend", "torch")))
 
     base_output_dir = Path(training_cfg.get("output_dir", f"checkpoints/{variant}"))
     output_dir = config_utils.allocate_run_dir(base_output_dir) if resume is None else base_output_dir

@@ -116,6 +116,7 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     training_cfg = cfg["training"]
     config_utils.set_seed(training_cfg.get("seed"))
     seed = int(training_cfg.get("seed") or 0)
+    ckpt_utils.set_checkpoint_backend(str(training_cfg.get("checkpoint_backend", "torch")))
 
     batch_size = int(training_cfg.get("batch_size", 4))
     epochs = int(training_cfg.get("epochs", 1))

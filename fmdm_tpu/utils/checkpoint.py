@@ -55,9 +55,30 @@ def numpy_map_to_tree(mapping: Dict[str, np.ndarray]):
 # Save / load
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(state: Dict[str, Any], path) -> None:
+# "torch" (default, reference-interop) or "orbax" (utils/orbax_ckpt.py) —
+# trainers set this from ``training.checkpoint_backend``.
+_BACKEND = "torch"
+
+
+def set_checkpoint_backend(name: str) -> None:
+    global _BACKEND
+    if name not in ("torch", "orbax"):
+        raise ValueError(f"Unknown checkpoint backend '{name}'")
+    _BACKEND = name
+
+
+def get_checkpoint_backend() -> str:
+    return _BACKEND
+
+
+def save_checkpoint(state: Dict[str, Any], path, backend: Optional[str] = None) -> None:
     """state: {"model": params pytree, "optimizer": optax state | None,
     "epoch": int, "best_metric": float, ...}."""
+    if (backend or _BACKEND) == "orbax":
+        from fmdm_tpu.utils import orbax_ckpt
+
+        orbax_ckpt.save_checkpoint(state, path)
+        return
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     payload: Dict[str, Any] = {}
@@ -87,6 +108,10 @@ def load_checkpoint(path) -> Dict[str, Any]:
     """Load a checkpoint saved by us or by the torch reference. Returns the
     payload with ``model`` as a nested JAX-style param dict."""
     path = Path(path)
+    if path.is_dir():  # orbax checkpoints are directories; format auto-detect
+        from fmdm_tpu.utils import orbax_ckpt
+
+        return orbax_ckpt.load_checkpoint(path)
     payload = None
     if torch is not None:
         try:
