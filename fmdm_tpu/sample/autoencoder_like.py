@@ -38,12 +38,41 @@ from fmdm_tpu.sample.vae_utils import (
     encode_vae_batch,
     reconstruct_vae_batch,
 )
+from fmdm_tpu.parallel.mesh import (
+    create_mesh_for_batch,
+    pad_batch_to_multiple,
+    replicate,
+    shard_batch,
+)
 from fmdm_tpu.utils.config import set_seed
 from fmdm_tpu.utils.evaluation import compute_ssim_sample
 
 
 def _stack_targets(samples):
-    return jnp.asarray(np.stack([np.asarray(s["target"], np.float32) for s in samples], axis=0))
+    return np.stack([np.asarray(s["target"], np.float32) for s in samples], axis=0)
+
+
+def _make_dp_fn(core, params, batch_size):
+    """Data-parallel runner for the VAE engines: shards the batch dim across a
+    device mesh (params replicated, ragged final batches edge-padded to the
+    mesh size), so encode/decode/sample/evaluate scale across chips instead of
+    running replicated. Returns ``run(x) -> (device_out, real_count)``; crop
+    with ``np.asarray(out)[:real]``. Single-device meshes degenerate to a plain
+    jitted call."""
+    mesh = create_mesh_for_batch(batch_size)
+    ndev = mesh.devices.size
+    if ndev > 1:
+        params = replicate(mesh, params)
+    fn = jax.jit(core)
+
+    def run(x):
+        x = np.asarray(x, np.float32)
+        if ndev > 1:
+            padded, real = pad_batch_to_multiple(x, ndev)
+            return fn(params, shard_batch(mesh, jnp.asarray(padded))), real
+        return fn(params, jnp.asarray(x)), x.shape[0]
+
+    return run
 
 
 def encode(ckpt_dir, data_txt=None, save=False, output_dir=None, batch_size=4,
@@ -61,10 +90,11 @@ def encode(ckpt_dir, data_txt=None, save=False, output_dir=None, batch_size=4,
     )
     output_root = (experiment_dir / "samples") if (save and experiment_dir is not None) else resolve_output_root(ckpt_dir, output_dir, save)
     model, params = build_vae_model(cfg, ckpt_path=ckpt_path)
-    enc = jax.jit(lambda p, x: encode_vae_batch(model, p, x))
+    enc = _make_dp_fn(lambda p, x: encode_vae_batch(model, p, x), params, batch_size)
 
     for indices, samples in progress_batches(dataset, batch_size, "Autoencoder encode", indices=selected_indices):
-        latents = np.asarray(enc(params, _stack_targets(samples)))
+        out, real = enc(_stack_targets(samples))
+        latents = np.asarray(out)[:real]
         if output_root is not None:
             for batch_idx, sample_idx in enumerate(indices):
                 row = dataset.data[sample_idx]
@@ -84,11 +114,12 @@ def decode(ckpt_dir, data_txt=None, save=False, output_dir=None, batch_size=4,
     output_root = resolve_output_root(ckpt_dir, output_dir, save)
     model, params = build_vae_model(cfg, ckpt_path=ckpt_path)
     recon_type = cfg.get("training", {}).get("recon_type", "l1")
-    dec = jax.jit(lambda p, z: decode_vae_batch(model, p, z, recon_type=recon_type))
+    dec = _make_dp_fn(lambda p, z: decode_vae_batch(model, p, z, recon_type=recon_type), params, batch_size)
 
     predicted_root = output_root / "predicted" if output_root is not None else None
     for indices, samples in progress_batches(dataset, batch_size, "Autoencoder decode", indices=selected_indices):
-        recon = np.asarray(dec(params, _stack_targets(samples)))
+        out, real = dec(_stack_targets(samples))
+        recon = np.asarray(out)[:real]
         if predicted_root is not None:
             for batch_idx, sample_idx in enumerate(indices):
                 row = dataset.data[sample_idx]
@@ -112,11 +143,12 @@ def sample(ckpt_dir, data_txt=None, save=False, output_dir=None, batch_size=4,
     output_root = resolve_output_root(ckpt_dir, output_dir, save)
     model, params = build_vae_model(cfg, ckpt_path=ckpt_path)
     recon_type = cfg.get("training", {}).get("recon_type", "l1")
-    rec_fn = jax.jit(lambda p, x: reconstruct_vae_batch(model, p, x, recon_type=recon_type))
+    rec_fn = _make_dp_fn(lambda p, x: reconstruct_vae_batch(model, p, x, recon_type=recon_type), params, batch_size)
 
     predicted_root = output_root / "predicted" if output_root is not None else None
     for indices, samples in progress_batches(dataset, batch_size, "Autoencoder sample", indices=selected_indices):
-        recon = np.asarray(rec_fn(params, _stack_targets(samples)))
+        out, real = rec_fn(_stack_targets(samples))
+        recon = np.asarray(out)[:real]
         if predicted_root is not None:
             for batch_idx, sample_idx in enumerate(indices):
                 row = dataset.data[sample_idx]
@@ -145,7 +177,7 @@ def evaluate(ckpt_dir, data_txt=None, save=False, output_dir=None, batch_size=4,
     output_root = (experiment_dir / "samples") if (save and experiment_dir is not None) else resolve_output_root(ckpt_dir, output_dir, save)
     model, params = build_vae_model(cfg, ckpt_path=ckpt_path)
     recon_type = cfg.get("training", {}).get("recon_type", "l1")
-    rec_fn = jax.jit(lambda p, x: reconstruct_vae_batch(model, p, x, recon_type=recon_type))
+    rec_fn = _make_dp_fn(lambda p, x: reconstruct_vae_batch(model, p, x, recon_type=recon_type), params, batch_size)
 
     total_mse = total_psnr = total_ssim = 0.0
     count = ssim_count = 0
@@ -157,10 +189,11 @@ def evaluate(ckpt_dir, data_txt=None, save=False, output_dir=None, batch_size=4,
     for indices, samples in batch_iter:
         targets = _stack_targets(samples)
         start = time.perf_counter()
-        recon = jax.block_until_ready(rec_fn(params, targets))
+        out, real = rec_fn(targets)
+        jax.block_until_ready(out)
         timing["model_seconds"] += time.perf_counter() - start
         timing["model_calls"] += 1
-        recon = np.clip(np.asarray(recon), 0.0, 1.0)
+        recon = np.clip(np.asarray(out)[:real], 0.0, 1.0)
         targets_np = np.clip(np.asarray(targets), 0.0, 1.0)
 
         if predicted_root is not None:
