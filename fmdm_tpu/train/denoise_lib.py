@@ -156,10 +156,19 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         if profile_dir and epoch == start_epoch:
             jax.profiler.start_trace(str(profile_dir))
 
-        batch_iter = prefetch(epoch_batches(
-            dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
-            process_index=jax.process_index(), process_count=jax.process_count(),
-        ))
+        if str(training_cfg.get("data_loader", "threads")).lower() == "grain":
+            from fmdm_tpu.data.grain_pipeline import grain_epoch_batches
+
+            batch_iter = grain_epoch_batches(
+                dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
+                process_index=jax.process_index(), process_count=jax.process_count(),
+                num_workers=int(training_cfg.get("num_workers", 0)),
+            )
+        else:
+            batch_iter = prefetch(epoch_batches(
+                dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
+                process_index=jax.process_index(), process_count=jax.process_count(),
+            ))
         try:
             from tqdm import tqdm
 

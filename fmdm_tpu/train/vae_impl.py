@@ -352,10 +352,20 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         totals = {k: 0.0 for k in ("loss", "recon", "kl", "perceptual", "g_gan", "d_gan", "vq")}
         num_samples = 0
         n_steps = 0
-        for batch in epoch_batches(
-            dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
-            process_index=jax.process_index(), process_count=jax.process_count(),
-        ):
+        if str(training_cfg.get("data_loader", "threads")).lower() == "grain":
+            from fmdm_tpu.data.grain_pipeline import grain_epoch_batches
+
+            _batches = grain_epoch_batches(
+                dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
+                process_index=jax.process_index(), process_count=jax.process_count(),
+                num_workers=int(training_cfg.get("num_workers", 0)),
+            )
+        else:
+            _batches = epoch_batches(
+                dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
+                process_index=jax.process_index(), process_count=jax.process_count(),
+            )
+        for batch in _batches:
             disc_active = _disc_is_active(discriminator is not None, gan_weight, gan_start,
                                           gan_start_steps, epoch, global_step)
             kl_scale = kl_weight
