@@ -86,18 +86,35 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     if not cfg_path.exists():
         config_utils.save_json_config(cfg_path, cfg)
 
-    mesh = mesh_lib.create_mesh_for_batch(batch_size)
+    tp = int(training_cfg.get("tensor_parallel", 1) or 1)
+    if tp > 1:
+        # dp x tp mesh: GSPMD output-channel sharding (parallel/tp.py); the
+        # data axis is the largest batch divisor the remaining devices allow.
+        from fmdm_tpu.parallel import tp as tp_lib
+
+        n_dev = len(jax.devices())
+        if n_dev % tp != 0:
+            raise ValueError(f"tensor_parallel={tp} must divide the device count {n_dev}")
+        n_data = n_dev // tp
+        while n_data > 1 and batch_size % n_data != 0:
+            n_data -= 1
+        mesh = tp_lib.create_dp_tp_mesh(n_data, tp)
+        _place_params = lambda p: tp_lib.shard_params_tp(p, mesh)
+        _place_opt = lambda s, p: tp_lib.shard_opt_state_tp(s, p, mesh)
+    else:
+        mesh = mesh_lib.create_mesh_for_batch(batch_size)
+        _place_params = lambda p: mesh_lib.replicate(mesh, p)
+        _place_opt = lambda s, p: mesh_lib.replicate(mesh, s)
     model, params = build_diffusion_model(cfg, ckpt_path=None, rng=jax.random.PRNGKey(seed))
     from fmdm_tpu.utils.summary import summarize_model
 
     summarize_model(params, model_block, training_cfg, name=variant)
-    params = mesh_lib.replicate(mesh, params)
+    params = _place_params(params)
 
     scheduler, num_inference_steps = build_scheduler(scheduler_cfg, training_cfg)
     num_train_steps = epochs * math.ceil(len(dataset) / batch_size)
     optimizer, _ = make_adamw(lr, weight_decay, lr_warmup, num_train_steps)
-    opt_state = optimizer.init(params)
-    opt_state = mesh_lib.replicate(mesh, opt_state)
+    opt_state = _place_opt(optimizer.init(params), params)
 
     train_step = make_denoise_train_step(
         model, scheduler, optimizer,
@@ -134,9 +151,9 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     if resume_flag:
         payload = ckpt_utils.load_checkpoint(resume_flag)
         params = jax.tree_util.tree_map(jnp.asarray, payload["model"])
-        params = mesh_lib.replicate(mesh, params)
+        params = _place_params(params)
         if payload.get("optimizer") is not None:
-            opt_state = mesh_lib.replicate(mesh, payload["optimizer"])
+            opt_state = _place_opt(payload["optimizer"], params)
         start_epoch = int(payload.get("epoch", 0)) + 1
         best_metric = float(payload.get("best_metric", float("inf")))
         logging.info("Resumed from %s at epoch %d", resume_flag, start_epoch)

@@ -103,3 +103,31 @@ def test_dp_tp_params_actually_distributed():
     assert len(x.sharding.device_set) == 8  # replicated over data, sharded over model
     shard_shapes = {s.data.shape for s in x.addressable_shards}
     assert all(ss[0] == x.shape[0] // 4 for ss in shard_shapes), shard_shapes
+
+
+def test_trainer_with_tensor_parallel(tmp_path):
+    """training.tensor_parallel=2: full train + resume; loss matches tp=1."""
+    import json
+    from tests.test_train_e2e import TinyMNIST, _write_cfg
+    from fmdm_tpu.train.diffusion_lib import train
+
+    losses = {}
+    for tp in (1, 2):
+        base = tmp_path / f"tp{tp}"
+        base.mkdir()
+        cfg_path = _write_cfg(base, "diffusion", "ddpm")
+        cfg = json.loads(cfg_path.read_text())
+        cfg["training"]["tensor_parallel"] = tp
+        cfg["training"]["num_epochs"] = 1
+        cfg_path.write_text(json.dumps(cfg))
+        ds = TinyMNIST(base / "data", train=True)
+        run_dir = train(ds, cfg_path)
+        losses[tp] = float((run_dir / "metrics.csv").read_text().strip().splitlines()[-1].split(",")[1])
+        if tp == 2:
+            # resume continues from the sharded checkpoint
+            cfg["training"]["num_epochs"] = 2
+            (run_dir / "train_config.json").write_text(json.dumps(cfg))
+            run2 = train(ds, run_dir / "train_config.json", resume=run_dir / "diff_last.pt")
+            lines = (run2 / "metrics.csv").read_text().strip().splitlines()
+            assert lines[-1].startswith("2,")
+    assert np.isclose(losses[1], losses[2], rtol=1e-3), losses
