@@ -189,6 +189,31 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     disc_optimizer = optax.adamw(disc_lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0) if discriminator else None
     disc_opt_state = disc_optimizer.init(disc_params) if discriminator else None
 
+    tp = int(training_cfg.get("tensor_parallel", 1) or 1)
+    if tp > 1:
+        # dp x tp (GSPMD output-channel sharding, parallel/tp.py) for both
+        # the generator and the discriminator; EMA codebook state replicates.
+        from fmdm_tpu.parallel import tp as tp_lib
+
+        n_dev = len(jax.devices())
+        if n_dev % tp != 0:
+            raise ValueError(f"tensor_parallel={tp} must divide the device count {n_dev}")
+        n_data = n_dev // tp
+        while n_data > 1 and batch_size % n_data != 0:
+            n_data -= 1
+        mesh = tp_lib.create_dp_tp_mesh(n_data, tp)
+        _place_gen = lambda p: tp_lib.shard_params_tp(p, mesh)
+        _place_gen_opt = lambda s, p: tp_lib.shard_opt_state_tp(s, p, mesh)
+        gen_params = _place_gen(gen_params)
+        opt_state = _place_gen_opt(opt_state, gen_params)
+        ema_state = mesh_lib.replicate(mesh, ema_state)
+        if disc_params is not None:
+            disc_params = tp_lib.shard_params_tp(disc_params, mesh)
+            disc_opt_state = tp_lib.shard_opt_state_tp(disc_opt_state, disc_params, mesh)
+    else:
+        _place_gen = lambda p: p
+        _place_gen_opt = lambda s, p: s
+
     logging.info(
         "Data: train_samples=%d%s | batch_size=%d | grad_accum=%d | epochs=%d",
         len(dataset), f", val_samples={len(val_dataset)}" if val_dataset is not None else "",
@@ -335,8 +360,9 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             payload = ckpt_utils.load_checkpoint(ckpt_path)
             full = jax.tree_util.tree_map(jnp.asarray, payload["model"])
             gen_params, ema_state = _split_ema(full, is_ema)
+            gen_params = _place_gen(gen_params)
             if payload.get("optimizer") is not None:
-                opt_state = payload["optimizer"]
+                opt_state = _place_gen_opt(payload["optimizer"], gen_params)
             if payload.get("disc_optimizer") is not None and disc_opt_state is not None:
                 disc_opt_state = payload["disc_optimizer"]
             if payload.get("extra_state") is not None and discriminator is not None:

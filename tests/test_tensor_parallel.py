@@ -131,3 +131,22 @@ def test_trainer_with_tensor_parallel(tmp_path):
             lines = (run2 / "metrics.csv").read_text().strip().splitlines()
             assert lines[-1].startswith("2,")
     assert np.isclose(losses[1], losses[2], rtol=1e-3), losses
+
+
+def test_vae_trainer_with_tensor_parallel(tmp_path):
+    """VAE trainer with training.tensor_parallel=2 (incl. GAN discriminator)."""
+    import json
+    from tests.test_train_e2e import TinyMNIST
+    from tests.test_vae import _vae_cfg
+    from fmdm_tpu.train.vae_lib import train as train_vae
+
+    cfg_path = _vae_cfg(tmp_path, "kl", extra_training={
+        "epochs": 1, "gan_weight": 0.1, "gan_start": 0, "save_images": False,
+        "tensor_parallel": 2,
+    })
+    ds = TinyMNIST(tmp_path / "data", train=True, img_size=32, n=12)
+    run_dir = train_vae(ds, cfg_path)
+    lines = (run_dir / "metrics.csv").read_text().strip().splitlines()
+    vals = [float(x) for x in lines[-1].split(",")[1:]]
+    assert all(np.isfinite(v) for v in vals), lines
+    assert (run_dir / "vae_last.pt").exists()
