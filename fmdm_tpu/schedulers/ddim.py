@@ -28,6 +28,7 @@ class DDIMScheduler(Scheduler):
     clip_sample_range: float = 1.0
     prediction_type: str = "epsilon"
     eta: float = 0.0
+    use_clipped_model_output: bool = False
     num_inference_steps: Optional[int] = None
 
     @classmethod
@@ -42,6 +43,7 @@ class DDIMScheduler(Scheduler):
         set_alpha_to_one: bool = True,
         prediction_type: str = "epsilon",
         eta: float = 0.0,
+        use_clipped_model_output: bool = False,
         **_unused,
     ) -> "DDIMScheduler":
         betas = make_beta_schedule(beta_schedule, num_train_timesteps, beta_start, beta_end)
@@ -55,6 +57,7 @@ class DDIMScheduler(Scheduler):
             clip_sample_range=clip_sample_range,
             prediction_type=prediction_type,
             eta=eta,
+            use_clipped_model_output=use_clipped_model_output,
         )
 
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
@@ -107,7 +110,11 @@ class DDIMScheduler(Scheduler):
 
         if self.clip_sample:
             pred_x0 = jnp.clip(pred_x0, -self.clip_sample_range, self.clip_sample_range)
-            # diffusers recomputes eps from the clipped x0
+        if self.use_clipped_model_output:
+            # diffusers only re-derives eps from the (possibly clipped) x0 when
+            # step(..., use_clipped_model_output=True) — the reference pipeline
+            # never passes it, so the default keeps the raw eps even when x0
+            # was clipped (Glide-style recompute stays opt-in).
             eps = (x32 - jnp.sqrt(alpha_prod_t) * pred_x0) / jnp.sqrt(beta_prod_t)
 
         # sigma_t for eta > 0 (ancestral blend)

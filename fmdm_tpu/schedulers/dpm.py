@@ -200,8 +200,17 @@ class DPMSolverMultistepScheduler(Scheduler):
         use_first = order_count < 1
         if self.solver_order == 1:
             use_first = jnp.bool_(True)
-        elif self.lower_order_final and n < 15:
-            use_first = jnp.logical_or(use_first, index == n - 1)
+        else:
+            # diffusers forces a first-order FINAL step when any of:
+            #   euler_at_final (not exposed), lower_order_final and n < 15,
+            #   final_sigmas_type == "zero" (the default, i.e. every ++ variant).
+            # The zero-final-sigma term is essential: at sigma_t = 0 the clamped
+            # lambda makes h ~ 23 - lam_s0, so r0 = h_0/h collapses and
+            # D1 = (m0 - m1)/r0 explodes ~h/h_0× — a second-order final step
+            # wrecks the sample (the round-1 DPM++ quality-gap bug).
+            final_sigma_zero = self.algorithm_type != "dpmsolver"
+            if final_sigma_zero or (self.lower_order_final and n < 15):
+                use_first = jnp.logical_or(use_first, index == n - 1)
         prev_sample = jnp.where(use_first, first, second)
 
         new_state = {

@@ -40,8 +40,12 @@ class FlowMatchEulerDiscreteScheduler(Scheduler):
         return self.shift * sigma / (1 + (self.shift - 1) * sigma)
 
     def sigma_for_timestep(self, t: jax.Array) -> jax.Array:
-        sigma = t.astype(jnp.float32) / self.num_train_timesteps
-        return self._shift_sigma(sigma)
+        """Timesteps live in *shifted*-sigma space (diffusers convention:
+        set_timesteps returns shifted_sigma * N), so sigma is recovered by a
+        plain division — applying the shift map here again would double-shift
+        timesteps that came from set_timesteps (step() and diffusers'
+        scale_noise both divide directly)."""
+        return t.astype(jnp.float32) / self.num_train_timesteps
 
     # -- forward process (scale_noise in diffusers) ---------------------------
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
