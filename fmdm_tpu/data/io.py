@@ -39,12 +39,18 @@ def load_image(path, id=None) -> Dict[str, Any]:
             raise RuntimeError("DICOM support requires pydicom (not installed in this image).")
         ds = pydicom.dcmread(str(path))
         image = ds.pixel_array
+        # Only surface rescale tags that are actually present: the LDCT
+        # preprocess falls back to slope=1/intercept=-1024 when a tag is
+        # absent (ldct.py preprocess defaults); injecting a default of 0.0
+        # here would shift HU by +1024 for headers lacking RescaleIntercept.
         metadata = {
-            "RescaleSlope": float(getattr(ds, "RescaleSlope", 1.0)),
-            "RescaleIntercept": float(getattr(ds, "RescaleIntercept", 0.0)),
             "PixelSpacing": list(getattr(ds, "PixelSpacing", []) or []),
             "SliceThickness": getattr(ds, "SliceThickness", None),
         }
+        for tag in ("RescaleSlope", "RescaleIntercept"):
+            value = getattr(ds, tag, None)
+            if value is not None:
+                metadata[tag] = float(value)
     elif suffix == ".npy":
         image = np.load(str(path))
     elif suffix == ".npz":

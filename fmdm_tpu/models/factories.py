@@ -1,15 +1,20 @@
 """
-Model factories with the reference's exact config-key semantics.
+Model factories: translate the JSON config vocabulary used across the
+reference's trainers into fmdm_tpu model constructors.
 
-- DiffusionUNetFactory (/root/reference/src/models/generators/diffusionfactory.py:25-130)
-- VAEFactory            (/root/reference/src/models/generators/vaefactory.py:16-97)
+Key *semantics* (names, defaults, precedence, conditioning-driven channel
+arithmetic) follow the reference factories —
+/root/reference/src/models/generators/diffusionfactory.py:25-130 and
+vaefactory.py:16-97 — because shipped configs must build identical
+architectures. The construction logic itself is organised around a typed
+config view (`_Cfg`) instead of the reference's inline kwargs assembly.
 """
 
 from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Dict, Iterable, Optional, Sequence
+from typing import Any, Dict, Optional
 
 from fmdm_tpu.models.unet_diffusers import UNetDiffusersND
 from fmdm_tpu.models.unet_efficient import EfficientUNetND
@@ -17,19 +22,48 @@ from fmdm_tpu.models.unet_efficient import EfficientUNetND
 __all__ = ["DiffusionUNetFactory", "VAEFactory", "build_from_json"]
 
 
-def _to_tuple(value, default):
-    if value is None:
-        return default
-    if isinstance(value, int):
-        return (value,)
-    return tuple(value)
+class _Cfg:
+    """Read-only view over a model config dict with typed, defaulted access."""
+
+    def __init__(self, raw: Optional[Dict[str, Any]]):
+        self.raw = dict(raw or {})
+
+    def __contains__(self, key: str) -> bool:
+        return key in self.raw
+
+    def get(self, key: str, default=None):
+        return self.raw.get(key, default)
+
+    def int(self, key: str, default: int) -> int:
+        return int(self.raw.get(key, default))
+
+    def float(self, key: str, default: float) -> float:
+        return float(self.raw.get(key, default))
+
+    def bool(self, key: str, default: bool) -> bool:
+        return bool(self.raw.get(key, default))
+
+    def str(self, key: str, default: str) -> str:
+        return str(self.raw.get(key, default))
+
+    def dims(self, key: str, default):
+        """int-or-sequence coerced to tuple; absent/None -> default."""
+        value = self.raw.get(key)
+        if value is None:
+            return default
+        return (value,) if isinstance(value, int) else tuple(value)
 
 
-def _infer_channel_mult(block_out_channels: Sequence[int], base_channels: int):
-    if not block_out_channels:
+def _conditioning_mode(conditioning: Optional[str]) -> str:
+    return (conditioning or "").lower()
+
+
+def _mult_from_widths(widths, base: int):
+    """Recover a channel-mult ladder from absolute per-stage widths."""
+    if not widths:
         return ()
-    base = base_channels or block_out_channels[0]
-    return tuple(max(1, int(ch // base)) for ch in block_out_channels)
+    base = base or widths[0]
+    return tuple(max(1, int(w // base)) for w in widths)
 
 
 class DiffusionUNetFactory:
@@ -37,107 +71,115 @@ class DiffusionUNetFactory:
     accepting both native and diffusers-style keys."""
 
     DEFAULT_BLOCK_CHANNELS = (128, 128, 256, 256, 512, 512)
+    _DIFFUSERS_IMPLS = frozenset({"diffusers_nd", "diffusers_exact_nd", "exact_nd", "diffusers"})
 
-    def build(self, model_cfg: Dict[str, Any], conditioning: Optional[str] = None, channels: Optional[int] = None):
-        cfg = dict(model_cfg or {})
-        unet_impl = str(cfg.get("unet_impl", "efficient_nd")).lower()
-        if unet_impl in {"diffusers_nd", "diffusers_exact_nd", "exact_nd", "diffusers"}:
-            return self._build_diffusers_nd(cfg, conditioning, channels)
-        return self._build_efficient_nd(cfg, conditioning, channels)
+    def build(self, model_cfg: Dict[str, Any], conditioning: Optional[str] = None,
+              channels: Optional[int] = None):
+        cfg = _Cfg(model_cfg)
+        impl = cfg.str("unet_impl", "efficient_nd").lower()
+        if impl in self._DIFFUSERS_IMPLS:
+            return self._build_diffusers_nd(cfg, _conditioning_mode(conditioning), channels)
+        return self._build_efficient_nd(cfg, _conditioning_mode(conditioning), channels)
 
-    def _build_efficient_nd(self, cfg, conditioning=None, channels=None):
-        spatial_dims = int(cfg.get("spatial_dims", 2))
-        block_out_channels = _to_tuple(cfg.get("block_out_channels"), self.DEFAULT_BLOCK_CHANNELS)
-        model_channels = int(cfg.get("model_channels", block_out_channels[0] if block_out_channels else 128))
+    # -- EfficientUNetND -----------------------------------------------------
+    def _build_efficient_nd(self, cfg: _Cfg, cond_mode: str, channels: Optional[int]):
+        widths = cfg.dims("block_out_channels", self.DEFAULT_BLOCK_CHANNELS)
+        base_width = cfg.int("model_channels", widths[0] if widths else 128)
 
-        in_channels = cfg.get("in_channels", channels or 1)
-        cond_channels = cfg.get("conditioning_channels", channels or in_channels)
-        cond_mode = (conditioning or "").lower()
+        in_ch = cfg.get("in_channels", channels or 1)
+        cond_ch = cfg.get("conditioning_channels", channels or in_ch)
         if cond_mode == "concatenate":
-            in_channels = in_channels + cond_channels
+            # channel-stacked conditioning enters through the input conv
+            in_ch = in_ch + cond_ch
 
-        out_channels = cfg.get("out_channels", channels or 1)
-        num_res_blocks = int(cfg.get("num_res_blocks", cfg.get("layers_per_block", 2)))
-        channel_mult = _to_tuple(cfg.get("channel_mult"), _infer_channel_mult(block_out_channels, model_channels))
-        attention_resolutions = _to_tuple(cfg.get("attention_resolutions"), (1,))
-        cross_attention_resolutions = cfg.get("cross_attention_resolutions")
-        cross_attention_in_middle = bool(cfg.get("cross_attention_in_middle", False))
-        if cross_attention_resolutions is None and cond_mode == "attention":
-            cross_attention_resolutions = attention_resolutions
+        # attention conditioning defaults its cross-attn placement to wherever
+        # self-attention lives (plus the middle block, unless overridden)
+        attn_res = cfg.dims("attention_resolutions", (1,))
+        xattn_res = cfg.get("cross_attention_resolutions")
+        xattn_mid = cfg.bool("cross_attention_in_middle", False)
+        if xattn_res is None and cond_mode == "attention":
+            xattn_res = attn_res
             if "cross_attention_in_middle" not in cfg:
-                cross_attention_in_middle = True
+                xattn_mid = True
 
         return EfficientUNetND(
-            spatial_dims=spatial_dims,
-            in_channels=in_channels,
-            model_channels=model_channels,
-            out_channels=out_channels,
-            num_res_blocks=num_res_blocks,
-            attention_resolutions=attention_resolutions,
-            cross_attention_resolutions=cross_attention_resolutions,
-            cross_attention_dim=int(cfg.get("cross_attention_dim", cond_channels)),
-            cross_attention_in_middle=cross_attention_in_middle,
-            dropout=float(cfg.get("dropout", 0.0)),
-            channel_mult=channel_mult or (1, 2, 3, 4),
-            conv_resample=bool(cfg.get("conv_resample", True)),
-            dim_head=int(cfg.get("dim_head", 64)),
-            num_heads=int(cfg.get("num_heads", 4)),
-            use_linear_attn=bool(cfg.get("use_linear_attn", True)),
-            use_scale_shift_norm=bool(cfg.get("use_scale_shift_norm", True)),
-            emb_activation_before_proj=bool(cfg.get("emb_activation_before_proj", False)),
-            pool_factor=int(cfg.get("pool_factor", 1)),
+            spatial_dims=cfg.int("spatial_dims", 2),
+            in_channels=in_ch,
+            model_channels=base_width,
+            out_channels=cfg.get("out_channels", channels or 1),
+            num_res_blocks=cfg.int("num_res_blocks", cfg.get("layers_per_block", 2)),
+            attention_resolutions=attn_res,
+            cross_attention_resolutions=xattn_res,
+            cross_attention_dim=cfg.int("cross_attention_dim", cond_ch),
+            cross_attention_in_middle=xattn_mid,
+            dropout=cfg.float("dropout", 0.0),
+            channel_mult=cfg.dims("channel_mult", _mult_from_widths(widths, base_width)) or (1, 2, 3, 4),
+            conv_resample=cfg.bool("conv_resample", True),
+            dim_head=cfg.int("dim_head", 64),
+            num_heads=cfg.int("num_heads", 4),
+            use_linear_attn=cfg.bool("use_linear_attn", True),
+            use_scale_shift_norm=cfg.bool("use_scale_shift_norm", True),
+            emb_activation_before_proj=cfg.bool("emb_activation_before_proj", False),
+            pool_factor=cfg.int("pool_factor", 1),
         )
 
-    def _build_diffusers_nd(self, cfg, conditioning=None, channels=None):
-        cond_mode = (conditioning or "").lower()
-        spatial_dims = int(cfg.get("spatial_dims", 2))
-        in_channels = int(cfg.get("in_channels", channels or 1))
-        cond_channels = int(cfg.get("conditioning_channels", channels or in_channels))
-        in_channels_already_conditioned = bool(cfg.get("in_channels_already_conditioned", False))
-        if cond_mode == "concatenate" and not in_channels_already_conditioned:
-            in_channels = in_channels + cond_channels
-
-        out_channels = int(cfg.get("out_channels", channels or 1))
-        block_out_channels = _to_tuple(cfg.get("block_out_channels"), (224, 448, 672, 896))
-        layers_per_block = int(cfg.get("layers_per_block", 2))
+    # -- UNetDiffusersND -----------------------------------------------------
+    @staticmethod
+    def _default_block_layout(cond_mode: str):
         if cond_mode == "attention":
-            default_down = ("CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D")
-            default_up = ("UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D")
-            default_mid = "UNetMidBlock2DCrossAttn"
-        else:
-            default_down = ("DownBlock2D", "AttnDownBlock2D", "AttnDownBlock2D", "AttnDownBlock2D")
-            default_up = ("AttnUpBlock2D", "AttnUpBlock2D", "AttnUpBlock2D", "UpBlock2D")
-            default_mid = "UNetMidBlock2D"
-        down_block_types = cfg.get("down_block_types", default_down)
-        up_block_types = cfg.get("up_block_types", default_up)
+            return (
+                ("CrossAttnDownBlock2D",) * 3 + ("DownBlock2D",),
+                ("UpBlock2D",) + ("CrossAttnUpBlock2D",) * 3,
+                "UNetMidBlock2DCrossAttn",
+            )
+        return (
+            ("DownBlock2D",) + ("AttnDownBlock2D",) * 3,
+            ("AttnUpBlock2D",) * 3 + ("UpBlock2D",),
+            "UNetMidBlock2D",
+        )
+
+    def _build_diffusers_nd(self, cfg: _Cfg, cond_mode: str, channels: Optional[int]):
+        in_ch = cfg.int("in_channels", channels or 1)
+        cond_ch = cfg.int("conditioning_channels", channels or in_ch)
+        if cond_mode == "concatenate" and not cfg.bool("in_channels_already_conditioned", False):
+            in_ch = in_ch + cond_ch
+
+        default_down, default_up, default_mid = self._default_block_layout(cond_mode)
 
         return UNetDiffusersND(
-            spatial_dims=spatial_dims,
+            spatial_dims=cfg.int("spatial_dims", 2),
             sample_size=cfg.get("sample_size"),
-            in_channels=in_channels,
-            out_channels=out_channels,
-            center_input_sample=bool(cfg.get("center_input_sample", False)),
-            time_embedding_type=str(cfg.get("time_embedding_type", "positional")),
-            freq_shift=int(cfg.get("freq_shift", 0)),
-            flip_sin_to_cos=bool(cfg.get("flip_sin_to_cos", True)),
-            down_block_types=down_block_types,
+            in_channels=in_ch,
+            out_channels=cfg.int("out_channels", channels or 1),
+            center_input_sample=cfg.bool("center_input_sample", False),
+            time_embedding_type=cfg.str("time_embedding_type", "positional"),
+            freq_shift=cfg.int("freq_shift", 0),
+            flip_sin_to_cos=cfg.bool("flip_sin_to_cos", True),
+            down_block_types=cfg.get("down_block_types", default_down),
             mid_block_type=cfg.get("mid_block_type", default_mid),
-            up_block_types=up_block_types,
-            block_out_channels=block_out_channels,
-            layers_per_block=layers_per_block,
-            downsample_padding=int(cfg.get("downsample_padding", 1)),
-            dropout=float(cfg.get("dropout", 0.0)),
-            attention_head_dim=int(cfg.get("attention_head_dim", 8)),
-            norm_num_groups=int(cfg.get("norm_num_groups", 32)),
-            norm_eps=float(cfg.get("norm_eps", 1e-5)),
-            resnet_time_scale_shift=str(cfg.get("resnet_time_scale_shift", "default")),
-            add_attention=bool(cfg.get("add_attention", True)),
-            cross_attention_dim=int(cfg.get("cross_attention_dim", cond_channels)) if cond_mode == "attention" else None,
+            up_block_types=cfg.get("up_block_types", default_up),
+            block_out_channels=cfg.dims("block_out_channels", (224, 448, 672, 896)),
+            layers_per_block=cfg.int("layers_per_block", 2),
+            downsample_padding=cfg.int("downsample_padding", 1),
+            dropout=cfg.float("dropout", 0.0),
+            attention_head_dim=cfg.int("attention_head_dim", 8),
+            norm_num_groups=cfg.int("norm_num_groups", 32),
+            norm_eps=cfg.float("norm_eps", 1e-5),
+            resnet_time_scale_shift=cfg.str("resnet_time_scale_shift", "default"),
+            add_attention=cfg.bool("add_attention", True),
+            cross_attention_dim=cfg.int("cross_attention_dim", cond_ch) if cond_mode == "attention" else None,
         )
 
 
 class VAEFactory:
-    """Builds AutoencoderKL / VQVAE from a JSON config (vaefactory.py:16-97)."""
+    """Builds AutoencoderKL / VQVAE from a `{training, model}` JSON config.
+
+    Selector keys (`latent_type`, `model_type`, `norm_type`, `act`) are peeled
+    off and the remainder forwarded as constructor kwargs, with the
+    reference's "None"-string normalization applied to the keys its configs
+    use it on (vaefactory.py:16-97)."""
+
+    _STRING_NONE_KEYS = ("emb_channels", "ckpt_path", "down_channels")
 
     def __init__(self) -> None:
         # Imported lazily to avoid a hard dependency before the VAE stack lands.
@@ -146,18 +188,11 @@ class VAEFactory:
         self._model_registry = {"kl": AutoencoderKL, "vq": VQVAE}
 
     def build_from_json(self, json_path):
-        cfg = self._load_config(json_path)
-        model_cfg: Dict[str, Any] = cfg["model"]
-        model_type = str(model_cfg.get("model_type", "vae")).lower()
-        if model_type != "vae":
-            raise ValueError(f"Expected model_type 'vae', got '{model_type}'.")
-        vae_cfg = dict(model_cfg)
-        for key in ("emb_channels", "ckpt_path", "down_channels"):
-            val = vae_cfg.get(key)
-            if isinstance(val, str) and val.lower() == "none":
-                vae_cfg[key] = None
-            if key == "down_channels" and isinstance(val, list):
-                vae_cfg[key] = tuple(val)
+        model_cfg = self._model_section(json_path)
+        if model_cfg.get("model_type", "vae").lower() != "vae":
+            raise ValueError(f"Expected model_type 'vae', got '{model_cfg.get('model_type')}'.")
+
+        vae_cfg = self._normalize(model_cfg)
         latent_type = vae_cfg.get("latent_type", "kl").lower()
         model_cls = self._model_registry.get(latent_type)
         if model_cls is None:
@@ -165,29 +200,35 @@ class VAEFactory:
                 f"Unsupported latent_type '{latent_type}'. Expected one of {list(self._model_registry)}."
             )
 
-        norm_type = vae_cfg.get("norm_type", "gn")
-        act = vae_cfg.get("act", "silu")
+        kwargs = {k: v for k, v in vae_cfg.items()
+                  if k not in ("latent_type", "model_type", "norm_type", "act")}
+        kwargs.setdefault("in_channels", vae_cfg.get("in_channels", 3))
+        kwargs.setdefault("out_channels", vae_cfg.get("out_channels", vae_cfg.get("in_channels", 3)))
+        kwargs.setdefault("resolution", vae_cfg.get("resolution", 256))
+        kwargs["block_norm_type"] = vae_cfg.get("norm_type", "gn")
+        kwargs["block_act"] = vae_cfg.get("act", "silu")
+        return model_cls(**kwargs)
 
-        init_kwargs = dict(vae_cfg)
-        for selector in ("latent_type", "model_type", "norm_type", "act"):
-            init_kwargs.pop(selector, None)
-        init_kwargs.setdefault("in_channels", vae_cfg.get("in_channels", 3))
-        init_kwargs.setdefault("out_channels", vae_cfg.get("out_channels", vae_cfg.get("in_channels", 3)))
-        init_kwargs.setdefault("resolution", vae_cfg.get("resolution", 256))
-        init_kwargs["block_norm_type"] = norm_type
-        init_kwargs["block_act"] = act
-        return model_cls(**init_kwargs)
+    @classmethod
+    def _normalize(cls, model_cfg: Dict[str, Any]) -> Dict[str, Any]:
+        out = dict(model_cfg)
+        for key in cls._STRING_NONE_KEYS:
+            value = out.get(key)
+            if isinstance(value, str) and value.lower() == "none":
+                out[key] = None
+            elif key == "down_channels" and isinstance(value, list):
+                out[key] = tuple(value)
+        return out
 
     @staticmethod
-    def _load_config(path) -> Dict[str, Any]:
+    def _model_section(path) -> Dict[str, Any]:
         path = Path(path)
         if not path.exists():
             raise FileNotFoundError(f"Config not found: {path}")
-        with path.open("r") as fh:
-            cfg = json.load(fh)
+        cfg = json.loads(path.read_text())
         if "model" not in cfg:
             raise ValueError("Config must contain a 'model' section.")
-        return cfg
+        return dict(cfg["model"])
 
 
 def build_from_json(json_path):

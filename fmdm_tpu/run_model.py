@@ -1,9 +1,11 @@
 """
 Unified dispatcher for sampling/encoding/decoding/evaluation workflows.
 
-CLI parity with /root/reference/src/run_model.py:31-106: same 6 modes, same
-17 flags, same HANDLER_REGISTRY keys; --device is accepted for compatibility
-(device placement is JAX-managed on TPU).
+CLI-compatible with the reference's run_model entry point
+(/root/reference/src/run_model.py:31-106): same 6 modes, same 17 flags, same
+handler-registry keys, so shipped invocations work unchanged. The flag surface
+is declared as a spec table below; --device is accepted but placement is
+JAX-managed on TPU.
 """
 
 from __future__ import annotations
@@ -21,6 +23,49 @@ HANDLER_REGISTRY = {
     "flow_matching": FlowMatchingHandler,
 }
 
+MODES = ("sample", "encode", "decode", "evaluate", "build_tensor_cache", "debug_compare")
+
+# (flag, kwargs) — every value flag below is also forwarded to the handler
+# constructor under its own name; store_true flags forward as booleans.
+_FLAG_SPEC = [
+    ("--ckpt_dir", dict(type=Path, required=True,
+                        help="Checkpoint directory containing train_config.json.")),
+    ("--mode", dict(type=str, choices=MODES, default="sample")),
+    ("--data_txt", dict(type=str, default=None, help="Optional override split file.")),
+    ("--save", dict(action="store_true", help="Save outputs to disk.")),
+    ("--output_dir", dict(type=str, default=None,
+                          help="Output root directory (defaults to ckpt_dir/outputs).")),
+    ("--batch_size", dict(type=int, default=4, help="Batch size for processing.")),
+    ("--device", dict(type=str, default=None,
+                      help="Accepted for CLI compat; placement is JAX-managed.")),
+    ("--seed", dict(type=int, default=42, help="Random seed.")),
+    ("--timestep", dict(type=int, default=None, help="Optional timestep for encode.")),
+    ("--num_samples", dict(type=int, default=None, help="Random subset size to process.")),
+    ("--num_inference_steps", dict(type=int, default=None,
+                                   help="Override scheduler inference steps (diffusion/flow only).")),
+    ("--start_step", dict(type=int, default=None,
+                          help="Start denoising from this train-timestep index (e.g., 700 runs from t<=700).")),
+    ("--last_n_steps", dict(type=int, default=None, help="Run only the last N denoising steps.")),
+    ("--scheduler", dict(type=str, default=None,
+                         help="Override scheduler at runtime (ddpm, ddim, dpmsolver1, dpmsolver2, "
+                              "dpmsolver++, dpmsolversde, unipc, flowmatch).")),
+    ("--save_input", dict(action="store_true",
+                          help="Also save model inputs when --save is enabled.")),
+    ("--save_conditioning", dict(action="store_true",
+                                 help="Also save conditioning tensors when --save is enabled.")),
+    ("--save_tensor_cache", dict(action="store_true",
+                                 help="Force writing tensor cache files at runtime without editing train_config.json.")),
+]
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Run sampling/encoding/decoding/eval/cache-build from a checkpoint dir."
+    )
+    for flag, kwargs in _FLAG_SPEC:
+        parser.add_argument(flag, **kwargs)
+    return parser
+
 
 def _resolve_handler(model_type: str):
     key = str(model_type).lower()
@@ -33,75 +78,20 @@ def main() -> None:
     from fmdm_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s", force=True)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s | %(levelname)s | %(message)s", force=True)
 
-    parser = argparse.ArgumentParser(
-        description="Run sampling/encoding/decoding/eval/cache-build from a checkpoint dir."
-    )
-    parser.add_argument("--ckpt_dir", type=Path, required=True, help="Checkpoint directory containing train_config.json.")
-    parser.add_argument(
-        "--mode", type=str,
-        choices=("sample", "encode", "decode", "evaluate", "build_tensor_cache", "debug_compare"),
-        default="sample",
-    )
-    parser.add_argument("--data_txt", type=str, default=None, help="Optional override split file.")
-    parser.add_argument("--save", action="store_true", help="Save outputs to disk.")
-    parser.add_argument("--output_dir", type=str, default=None, help="Output root directory (defaults to ckpt_dir/outputs).")
-    parser.add_argument("--batch_size", type=int, default=4, help="Batch size for processing.")
-    parser.add_argument("--device", type=str, default=None, help="Accepted for CLI compat; placement is JAX-managed.")
-    parser.add_argument("--seed", type=int, default=42, help="Random seed.")
-    parser.add_argument("--timestep", type=int, default=None, help="Optional timestep for encode.")
-    parser.add_argument("--num_samples", type=int, default=None, help="Random subset size to process.")
-    parser.add_argument("--num_inference_steps", type=int, default=None, help="Override scheduler inference steps (diffusion/flow only).")
-    parser.add_argument("--start_step", type=int, default=None, help="Start denoising from this train-timestep index (e.g., 700 runs from t<=700).")
-    parser.add_argument("--last_n_steps", type=int, default=None, help="Run only the last N denoising steps.")
-    parser.add_argument(
-        "--scheduler", type=str, default=None,
-        help="Override scheduler at runtime (ddpm, ddim, dpmsolver1, dpmsolver2, dpmsolver++, dpmsolversde, unipc, flowmatch).",
-    )
-    parser.add_argument("--save_input", action="store_true", help="Also save model inputs when --save is enabled.")
-    parser.add_argument("--save_conditioning", action="store_true", help="Also save conditioning tensors when --save is enabled.")
-    parser.add_argument(
-        "--save_tensor_cache", action="store_true",
-        help="Force writing tensor cache files at runtime without editing train_config.json.",
-    )
-    args = parser.parse_args()
+    args = _build_parser().parse_args()
 
     cfg = load_run_config(args.ckpt_dir)
-    model_type = cfg.get("model", {}).get("model_type", "vae")
-    handler_cls = _resolve_handler(model_type)
+    handler_cls = _resolve_handler(cfg.get("model", {}).get("model_type", "vae"))
 
-    handler = handler_cls(
-        ckpt_dir=args.ckpt_dir,
-        data_txt=args.data_txt,
-        save=args.save,
-        output_dir=args.output_dir,
-        batch_size=args.batch_size,
-        device=args.device,
-        seed=args.seed,
-        timestep=args.timestep,
-        num_samples=args.num_samples,
-        save_input=args.save_input,
-        save_conditioning=args.save_conditioning,
-        num_inference_steps=args.num_inference_steps,
-        start_step=args.start_step,
-        last_n_steps=args.last_n_steps,
-        scheduler=args.scheduler,
-        save_tensor_cache=args.save_tensor_cache,
-    )
+    handler_kwargs = {name.lstrip("-"): getattr(args, name.lstrip("-"))
+                      for name, _ in _FLAG_SPEC if name != "--mode"}
+    handler = handler_cls(**handler_kwargs)
 
-    if args.mode == "encode":
-        handler.encode()
-    elif args.mode == "decode":
-        handler.decode()
-    elif args.mode == "evaluate":
-        handler.evaluate()
-    elif args.mode == "build_tensor_cache":
-        handler.build_tensor_cache()
-    elif args.mode == "debug_compare":
-        handler.debug_compare()
-    else:
-        handler.sample()
+    # every mode maps 1:1 onto a handler method of the same name
+    getattr(handler, args.mode)()
 
 
 if __name__ == "__main__":

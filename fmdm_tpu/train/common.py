@@ -108,6 +108,13 @@ def epoch_batches(
     if shuffle:
         rng = np.random.RandomState((seed or 0) * 100003 + epoch)
         rng.shuffle(order)
+    if process_count > 1 and n % process_count != 0:
+        # pad to a multiple of process_count (repeating leading indices, like
+        # DistributedSampler) so every process yields the SAME number of
+        # batches — unequal counts would leave some hosts blocked in a
+        # collective while others exit the epoch loop.
+        pad = process_count - n % process_count
+        order = np.concatenate([order, order[:pad]])
     order = order[process_index::process_count]
     for start in range(0, len(order), batch_size):
         idx = order[start : start + batch_size]

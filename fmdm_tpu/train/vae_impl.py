@@ -286,11 +286,19 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
 
     def train_step(gen_p, ema_s, opt_s, disc_p, disc_s, raw, valid, rng, kl_scale, *, disc_active):
         n_chunks = grad_accum
-        chunk = max(1, raw.shape[0] // n_chunks)
-        usable = n_chunks * chunk
+        # ceil-divide and pad so no sample is dropped when batch % accum != 0
+        # (mirrors the denoise trainer's valid=0 padding); pad rows wrap-repeat
+        # real samples so the unmasked aux terms never see synthetic zeros,
+        # while valid=0 excludes them from the recon loss and all counts.
+        chunk = max(1, -(-raw.shape[0] // n_chunks))
+        pad = n_chunks * chunk - raw.shape[0]
+        if pad:
+            wrap = jnp.arange(pad) % raw.shape[0]
+            raw = jnp.concatenate([raw, jnp.take(raw, wrap, axis=0)])
+            valid = jnp.concatenate([valid, jnp.zeros((pad,), valid.dtype)])
 
         def reshape_chunks(a):
-            return a[:usable].reshape((n_chunks, chunk) + a.shape[1:])
+            return a.reshape((n_chunks, chunk) + a.shape[1:])
 
         rawc, validc = reshape_chunks(raw), reshape_chunks(valid)
         rngs = jax.random.split(rng, n_chunks)
@@ -459,12 +467,16 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         if disc_params is not None:
             state["extra_state"] = {"disc_params": jax.tree_util.tree_map(np.asarray, disc_params)}
 
-        ckpt_utils.save_checkpoint(state, output_dir / "vae_last.pt")
+        # rank-0 writes only (params are replicated; denoise_lib gates the
+        # same way) — every host saving would race on the shared filesystem
+        if mesh_lib.is_main_process():
+            ckpt_utils.save_checkpoint(state, output_dir / "vae_last.pt")
         if current_metric < best_metric:
             best_metric = current_metric
             state["best_metric"] = best_metric
-            ckpt_utils.save_checkpoint(state, output_dir / "vae_best.pt")
-            logging.info("New best (%.6f) -> %s", best_metric, output_dir / "vae_best.pt")
+            if mesh_lib.is_main_process():
+                ckpt_utils.save_checkpoint(state, output_dir / "vae_best.pt")
+                logging.info("New best (%.6f) -> %s", best_metric, output_dir / "vae_best.pt")
 
         if mesh_lib.is_main_process():
             denom = max(num_samples, 1)
@@ -479,30 +491,34 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         should_save = epoch % save_every == 0 or epoch == epochs
         if should_save:
             epoch_dir = output_dir / "epochs" / f"epoch{epoch:04d}"
-            ckpt_utils.save_checkpoint(state, epoch_dir / "epoch.pt")
-            logging.info("Saved epoch checkpoint: %s", epoch_dir / 'epoch.pt')
+            if mesh_lib.is_main_process():
+                ckpt_utils.save_checkpoint(state, epoch_dir / "epoch.pt")
+                logging.info("Saved epoch checkpoint: %s", epoch_dir / 'epoch.pt')
 
             if visual_enabled and (epoch % visual_every == 0 or epoch == epochs):
-                full = _merge_ema(gen_params, ema_state)
-                inputs = model.image_to_model_range(jnp.asarray(sample_batch))
-                if is_vq:
-                    rec, _aux = model(full, inputs)
-                else:
-                    rec, _post = model(full, inputs, sample_posterior=False)
-                rec_vis = np.asarray(model.raw_output_to_image(rec, recon_type=recon_type))
-                input_vis = np.clip(np.asarray(sample_batch), 0.0, 1.0)
-                if sample_count >= 20:
-                    rows_, cols_ = 4, 5
-                else:
-                    rows_ = max(1, int(math.sqrt(sample_count)))
-                    cols_ = max(1, sample_count // rows_)
-                save_image(make_grid(input_vis, rows_, cols_), epoch_dir / "input.png")
-                save_image(make_grid(np.clip(rec_vis, 0, 1), rows_, cols_), epoch_dir / "recon.png")
+                # split unconditionally so rng evolution stays identical on
+                # every process; only rank 0 runs the probe and writes PNGs
                 rng, gen_rng = jax.random.split(rng)
-                noise = jax.random.normal(gen_rng, (sample_count, *latent_shape_), jnp.float32)
-                gen = model.decode(full, noise)
-                gen_vis = np.clip(np.asarray(model.raw_output_to_image(gen, recon_type=recon_type)), 0, 1)
-                save_image(make_grid(gen_vis, rows_, cols_), epoch_dir / "gen.png")
+                if mesh_lib.is_main_process():
+                    full = _merge_ema(gen_params, ema_state)
+                    inputs = model.image_to_model_range(jnp.asarray(sample_batch))
+                    if is_vq:
+                        rec, _aux = model(full, inputs)
+                    else:
+                        rec, _post = model(full, inputs, sample_posterior=False)
+                    rec_vis = np.asarray(model.raw_output_to_image(rec, recon_type=recon_type))
+                    input_vis = np.clip(np.asarray(sample_batch), 0.0, 1.0)
+                    if sample_count >= 20:
+                        rows_, cols_ = 4, 5
+                    else:
+                        rows_ = max(1, int(math.sqrt(sample_count)))
+                        cols_ = max(1, sample_count // rows_)
+                    save_image(make_grid(input_vis, rows_, cols_), epoch_dir / "input.png")
+                    save_image(make_grid(np.clip(rec_vis, 0, 1), rows_, cols_), epoch_dir / "recon.png")
+                    noise = jax.random.normal(gen_rng, (sample_count, *latent_shape_), jnp.float32)
+                    gen = model.decode(full, noise)
+                    gen_vis = np.clip(np.asarray(model.raw_output_to_image(gen, recon_type=recon_type)), 0, 1)
+                    save_image(make_grid(gen_vis, rows_, cols_), epoch_dir / "gen.png")
 
     return output_dir
 

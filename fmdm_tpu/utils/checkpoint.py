@@ -18,7 +18,9 @@ identical filename.
 from __future__ import annotations
 
 import io
+import os
 import pickle
+import tempfile
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -93,15 +95,24 @@ def save_checkpoint(state: Dict[str, Any], path, backend: Optional[str] = None) 
             payload[key] = tree_to_numpy_map(value)
         else:
             payload[key] = value
-    if torch is not None:
-        tmp = path.with_suffix(path.suffix + ".tmp")
-        torch.save(payload, tmp)
+    # Unique temp name per writer: a fixed '<name>.tmp' would race under
+    # concurrent savers (multi-host or overlapping runs) — the same shared-tmp
+    # hazard the tensor cache fixed in commit 6a76f77.
+    fd, tmp_name = tempfile.mkstemp(
+        prefix=path.name + ".", suffix=".tmp", dir=str(path.parent)
+    )
+    tmp = Path(tmp_name)
+    try:
+        if torch is not None:
+            with os.fdopen(fd, "wb") as fh:
+                torch.save(payload, fh)
+        else:
+            with os.fdopen(fd, "wb") as fh:
+                pickle.dump(payload, fh)
         tmp.replace(path)
-    else:
-        tmp = path.with_suffix(path.suffix + ".tmp")
-        with tmp.open("wb") as fh:
-            pickle.dump(payload, fh)
-        tmp.replace(path)
+    except BaseException:
+        tmp.unlink(missing_ok=True)
+        raise
 
 
 def load_checkpoint(path) -> Dict[str, Any]:
