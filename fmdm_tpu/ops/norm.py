@@ -24,6 +24,28 @@ def safe_num_groups(channels: int, groups: int = 32) -> int:
     return num_groups
 
 
+def group_norm_stats(x: jax.Array, num_groups: int):
+    """Per-(batch, group) mean/variance in ONE pass over the activation.
+
+    The textbook two-pass formulation (mean, then mean((x-mean)^2)) forces two
+    full HBM reads of the activation because the second reduce depends on the
+    first; on the bandwidth-bound UNet forward those stats passes were 43.7%
+    of device time (BENCHMARKS.md op profile). Reducing sum and sum-of-squares
+    together lets XLA multi-output-fuse both into a single read. Variance via
+    E[x^2] - mean^2 in f32, clamped at 0 — cancellation only bites when
+    |mean| >> std, far outside post-conv activation statistics, and the torch
+    parity suite bounds the drift.
+    """
+    n = x.shape[0]
+    xf = x.astype(jnp.float32).reshape(n, num_groups, -1)
+    m = xf.shape[2]
+    s1 = jnp.sum(xf, axis=2)
+    s2 = jnp.sum(xf * xf, axis=2)
+    mean = s1 / m
+    var = jnp.maximum(s2 / m - mean * mean, 0.0)
+    return mean, var
+
+
 def group_norm(
     x: jax.Array,
     weight: Optional[jax.Array],
@@ -36,9 +58,10 @@ def group_norm(
     orig_dtype = x.dtype
     n, c = x.shape[0], x.shape[1]
     spatial = x.shape[2:]
+    mean, var = group_norm_stats(x, num_groups)
+    mean = mean.reshape(n, num_groups, 1, 1)
+    var = var.reshape(n, num_groups, 1, 1)
     xf = x.astype(jnp.float32).reshape(n, num_groups, c // num_groups, -1)
-    mean = jnp.mean(xf, axis=(2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(2, 3), keepdims=True)
     xf = (xf - mean) * jax.lax.rsqrt(var + eps)
     xf = xf.reshape(n, c, *spatial)
     if weight is not None:

@@ -15,6 +15,7 @@ TPU-first replacements for the reference trainer plumbing:
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
 
@@ -255,3 +256,61 @@ def device_put_batch(mesh, batch: Dict[str, Any]):
     placed = shard_batch(mesh, arrays)
     placed["image"] = placed.get("image")
     return placed
+
+
+# ---------------------------------------------------------------------------
+# Startup micro-batch auto-tuning (SURVEY §7.1.6)
+# ---------------------------------------------------------------------------
+
+def is_memory_error(err: BaseException) -> bool:
+    """Does this exception look like device-memory exhaustion? TPU programs
+    have static HBM footprints, so exhaustion surfaces at compile/lowering
+    time as RESOURCE_EXHAUSTED — the static analogue of the reference's
+    runtime CUDA OOM (vae_lib.py:347-358)."""
+    text = f"{type(err).__name__}: {err}".lower()
+    return any(tag in text for tag in (
+        "resource_exhausted", "out of memory", "exceeds the hbm", "hbm capacity",
+        "memory space hbm", "allocating", "oom",
+    )) and not isinstance(err, (TypeError, ValueError))
+
+
+def autotune_grad_accum(
+    build_step: Callable[[int], Callable],
+    trial_compile: Callable[[Callable, int], None],
+    *,
+    batch_size: int,
+    grad_accum: int,
+    allow_microbatching: bool = True,
+    what: str = "train step",
+) -> Tuple[int, Callable]:
+    """Pick the largest micro-batch that fits at startup by trial compile.
+
+    Replaces the reference's mid-epoch OOM-halving (vae_lib.py:347-358) with a
+    jit-compatible startup probe: build the jitted step for the configured
+    accumulation, trial-compile it (TPU compile performs HBM budgeting), and
+    on memory exhaustion halve the micro-batch (doubling accumulation) until
+    it fits or the micro-batch is 1. Returns (grad_accum, step).
+    """
+    accum = max(1, int(grad_accum))
+    while True:
+        step = build_step(accum)
+        try:
+            trial_compile(step, accum)
+            if accum != max(1, int(grad_accum)):
+                logging.warning(
+                    "Auto-tuned %s to gradient_accumulation_steps=%d "
+                    "(micro-batch %d) to fit device memory.",
+                    what, accum, -(-batch_size // accum),
+                )
+            return accum, step
+        except Exception as err:  # noqa: BLE001 - classified below
+            chunk = -(-batch_size // accum)
+            if not (allow_microbatching and is_memory_error(err)) or chunk <= 1:
+                raise
+            new_chunk = max(1, chunk // 2)
+            accum = min(batch_size, -(-batch_size // new_chunk))
+            logging.warning(
+                "%s does not fit with micro-batch %d (%s); retrying with "
+                "micro-batch %d (accum=%d).",
+                what, chunk, type(err).__name__, new_chunk, accum,
+            )

@@ -116,11 +116,39 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     optimizer, _ = make_adamw(lr, weight_decay, lr_warmup, num_train_steps)
     opt_state = _place_opt(optimizer.init(params), params)
 
-    train_step = make_denoise_train_step(
-        model, scheduler, optimizer,
-        variant=variant, conditioning_mode=conditioning_mode, latent_norm=latent_norm,
-        grad_accum=grad_accum, compute_dtype=compute_dtype, mesh=mesh,
-        remat=bool(training_cfg.get("remat", False)),
+    def _build_train_step(accum: int):
+        return make_denoise_train_step(
+            model, scheduler, optimizer,
+            variant=variant, conditioning_mode=conditioning_mode, latent_norm=latent_norm,
+            grad_accum=accum, compute_dtype=compute_dtype, mesh=mesh,
+            remat=bool(training_cfg.get("remat", False)),
+        )
+
+    def _trial_compile(step, _accum):
+        # abstract batch with the real mesh shardings: TPU compile performs
+        # HBM budgeting, so an oversized micro-batch fails here, not mid-epoch
+        probe_sample = dataset[0]
+        batch_sh = mesh_lib.batch_sharding(mesh)
+
+        def _aval(value):
+            shape = np.asarray(value).shape
+            return jax.ShapeDtypeStruct((batch_size, *shape), jnp.float32, sharding=batch_sh)
+
+        cond_value = probe_sample.get("image") if conditioning_mode in {"concatenate", "attention"} else None
+        probe = {
+            "target": _aval(probe_sample["target"]),
+            "image": _aval(cond_value) if cond_value is not None else None,
+            "valid": jax.ShapeDtypeStruct((batch_size,), jnp.float32, sharding=batch_sh),
+        }
+        step.lower(params, opt_state, probe, jax.random.PRNGKey(0)).compile()
+
+    from fmdm_tpu.train.common import autotune_grad_accum
+
+    grad_accum, train_step = autotune_grad_accum(
+        _build_train_step, _trial_compile,
+        batch_size=batch_size, grad_accum=grad_accum,
+        allow_microbatching=bool(training_cfg.get("allow_microbatching", True)),
+        what=f"{variant} train step",
     )
 
     visual_enabled = bool(training_cfg.get("save_images", False))

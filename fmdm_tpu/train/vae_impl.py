@@ -47,6 +47,7 @@ from fmdm_tpu.sample.vae_utils import build_vae_model
 from fmdm_tpu.utils import config as config_utils
 from fmdm_tpu.utils import checkpoint as ckpt_utils
 from fmdm_tpu.utils.evaluation import latent_shape, make_grid, prepare_eval_batch, save_image
+from fmdm_tpu.train import common
 from fmdm_tpu.train.common import epoch_batches
 
 EMA_KEYS = ("embedding", "ema_cluster_size", "ema_w")
@@ -284,8 +285,8 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
 
     disc_grad = jax.value_and_grad(disc_loss_fn) if discriminator else None
 
-    def train_step(gen_p, ema_s, opt_s, disc_p, disc_s, raw, valid, rng, kl_scale, *, disc_active):
-        n_chunks = grad_accum
+    def _train_step_impl(gen_p, ema_s, opt_s, disc_p, disc_s, raw, valid, rng, kl_scale,
+                         *, disc_active, n_chunks):
         # ceil-divide and pad so no sample is dropped when batch % accum != 0
         # (mirrors the denoise trainer's valid=0 padding); pad rows wrap-repeat
         # real samples so the unmasked aux terms never see synthetic zeros,
@@ -341,7 +342,32 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             disc_p = optax.apply_updates(disc_p, d_updates)
         return gen_p, ema_new, opt_s, disc_p, disc_s, m_acc, count
 
-    train_step = jax.jit(train_step, static_argnames=("disc_active",))
+    def _build_train_step(accum: int):
+        def step(gen_p, ema_s, opt_s, disc_p, disc_s, raw, valid, rng, kl_scale, *, disc_active):
+            return _train_step_impl(gen_p, ema_s, opt_s, disc_p, disc_s, raw, valid, rng,
+                                    kl_scale, disc_active=disc_active, n_chunks=accum)
+        return jax.jit(step, static_argnames=("disc_active",))
+
+    def _trial_compile(step, _accum):
+        batch_sh = mesh_lib.batch_sharding(mesh)
+        sample_shape = np.asarray(dataset[0]["target"]).shape
+        raw_aval = jax.ShapeDtypeStruct((batch_size, *sample_shape), jnp.float32, sharding=batch_sh)
+        valid_aval = jax.ShapeDtypeStruct((batch_size,), jnp.float32, sharding=batch_sh)
+        kl_aval = jax.ShapeDtypeStruct((), jnp.float32)
+        # compile both generator-only and GAN-active programs up front, so an
+        # oversized discriminator path fails at startup rather than mid-run
+        variants = [False] + ([True] if discriminator is not None and gan_weight > 0 else [])
+        for active in variants:
+            step.lower(gen_params, ema_state, opt_state, disc_params, disc_opt_state,
+                       raw_aval, valid_aval, jax.random.PRNGKey(0), kl_aval,
+                       disc_active=active).compile()
+
+    grad_accum, train_step = common.autotune_grad_accum(
+        _build_train_step, _trial_compile,
+        batch_size=batch_size, grad_accum=grad_accum,
+        allow_microbatching=bool(training_cfg.get("allow_microbatching", True)),
+        what="vae train step",
+    )
 
     def eval_step(gen_p, ema_s, disc_p, raw, valid, kl_scale, *, disc_active):
         total, (metrics, rec_img, _) = forward_losses(

@@ -61,3 +61,48 @@ def test_legacy_train_cli(tmp_path, monkeypatch):
     metrics = (runs[0] / "metrics.csv").read_text().strip().splitlines()
     assert len(metrics) == 2
     assert np.isfinite(float(metrics[1].split(",")[1]))
+
+
+def test_autotune_grad_accum_halves_until_fit():
+    from fmdm_tpu.train.common import autotune_grad_accum, is_memory_error
+
+    class FakeOOM(Exception):
+        pass
+
+    built = []
+
+    def build(accum):
+        built.append(accum)
+        return f"step_accum_{accum}"
+
+    def trial(step, accum):
+        # pretend only micro-batches <= 4 fit (batch 32 -> accum >= 8)
+        if 32 // accum > 4:
+            raise FakeOOM("RESOURCE_EXHAUSTED: out of memory while allocating")
+
+    accum, step = autotune_grad_accum(
+        build, trial, batch_size=32, grad_accum=1, allow_microbatching=True)
+    assert accum == 8 and step == "step_accum_8"
+    assert built == [1, 2, 4, 8]
+
+
+def test_autotune_grad_accum_respects_disable_and_reraises():
+    import pytest
+    from fmdm_tpu.train.common import autotune_grad_accum
+
+    def build(accum):
+        return accum
+
+    def trial_oom(step, accum):
+        raise RuntimeError("RESOURCE_EXHAUSTED: hbm capacity")
+
+    with pytest.raises(RuntimeError):
+        autotune_grad_accum(build, trial_oom, batch_size=8, grad_accum=1,
+                            allow_microbatching=False)
+
+    def trial_other(step, accum):
+        raise ValueError("shape mismatch")
+
+    with pytest.raises(ValueError):
+        autotune_grad_accum(build, trial_other, batch_size=8, grad_accum=1,
+                            allow_microbatching=True)

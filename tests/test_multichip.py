@@ -100,6 +100,54 @@ def test_gradients_are_globally_synced():
         np.testing.assert_allclose(f1[k], f8[k], rtol=5e-2, atol=1e-3, err_msg=k)
 
 
+def test_gradients_match_pre_optimizer_tight():
+    """Pre-optimizer gradients (no Adam rsqrt amplification) must match
+    between 1-device and 8-device data parallelism at ~1e-5 — separates f32
+    reduction-order noise from a real grad-sync divergence."""
+    from fmdm_tpu.models.factories import DiffusionUNetFactory
+    from fmdm_tpu.nn.module import flatten_params
+    from fmdm_tpu.schedulers import DDPMScheduler
+
+    unet = {
+        "unet_impl": "diffusers_nd", "in_channels": 1, "out_channels": 1,
+        "layers_per_block": 1, "block_out_channels": [8, 8], "norm_num_groups": 4,
+        "down_block_types": ["DownBlock2D", "DownBlock2D"],
+        "up_block_types": ["UpBlock2D", "UpBlock2D"],
+    }
+    model = DiffusionUNetFactory().build(unet, None, 1)
+    init_params = model.init(jax.random.PRNGKey(0))
+    sched = DDPMScheduler.create(num_train_timesteps=20)
+
+    target = jnp.tile(jnp.linspace(0, 1, 64).reshape(1, 1, 8, 8), (8, 1, 1, 1))
+    rng = jax.random.PRNGKey(3)
+
+    def loss_fn(params, x0):
+        rng_noise, rng_t = jax.random.split(rng)
+        noise = jax.random.normal(rng_noise, x0.shape, jnp.float32)
+        t = jax.random.randint(rng_t, (x0.shape[0],), 0, 20)
+        noisy = sched.add_noise(x0, noise, t)
+        pred = model(params, noisy, t)
+        return jnp.mean(jnp.square(pred - noise))
+
+    grads = []
+    for n_dev in (1, 8):
+        mesh = create_mesh(n_dev)
+        params = replicate(mesh, init_params)
+        x0 = shard_batch(mesh, target)
+        g = jax.jit(jax.grad(loss_fn))(params, x0)
+        grads.append(flatten_params(jax.tree_util.tree_map(np.asarray, g)))
+
+    g1, g8 = grads
+    # normalize by the per-tensor scale floored at 1e-3 of the global scale:
+    # mathematically-zero grads (e.g. to_k.bias — softmax is invariant to a
+    # uniform key-bias shift) are pure f32 noise and must not be graded
+    # noise-over-noise.
+    global_scale = max(float(np.abs(v).max()) for v in g1.values())
+    for k in g1:
+        scale = max(float(np.abs(g1[k]).max()), 1e-3 * global_scale)
+        np.testing.assert_allclose(g8[k] / scale, g1[k] / scale, atol=2e-5, err_msg=k)
+
+
 def test_vae_engine_dp_runner_shards_and_crops():
     """The autoencoder engines' data-parallel runner: batch sharded over the
     mesh, ragged batches edge-padded then cropped, values identical to the
