@@ -5,8 +5,12 @@ Benchmark: the BASELINE.json north-star metric — denoise steps/sec/chip for a
 conditioning), run on real TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-``vs_baseline`` is null: the reference publishes no benchmark numbers
-(BASELINE.md — "published": {}), so there is no number to normalize against.
+``vs_baseline`` normalizes against an ESTIMATED CUDA denominator — the
+reference publishes no numbers and no CUDA hardware exists here, so
+BENCHMARKS.md ("CUDA-baseline denominator") constructs one from the flagship's
+measured FLOP cost (493 GFLOP/sample-step), A100 TF32 peak, a 25% eager-mode
+utilization estimate, and the v5e/A100 compute-capacity ratio: ~50
+sample-steps/s per v5e-equivalent. ``vs_baseline_basis: "estimated"`` marks it.
 """
 
 from __future__ import annotations
@@ -91,7 +95,11 @@ def main() -> None:
         "metric": "denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
-        "vs_baseline": None,
+        # estimated CUDA denominator: 50 sample-steps/s v5e-capacity-equivalent
+        # (BENCHMARKS.md "CUDA-baseline denominator"; 25% eager util on A100
+        # TF32 scaled by 197/312 peak ratio). An estimate, not a measurement.
+        "vs_baseline": round(steps_per_sec / 50.0, 2),
+        "vs_baseline_basis": "estimated (BENCHMARKS.md CUDA-baseline denominator)",
         "samples_per_sec": round(samples_per_sec, 3),
         "batch_size": batch_size,
         "num_inference_steps": num_steps,

@@ -34,6 +34,7 @@ from fmdm_tpu.sample.diffusion_utils import (
     prepare_diffusion_visual_batch,
 )
 from fmdm_tpu.schedulers import build_scheduler, resolve_conditioning_mode
+from fmdm_tpu.train.common import cfg_num_workers as _cfg_workers
 from fmdm_tpu.train.common import epoch_batches, make_adamw, make_denoise_train_step
 from fmdm_tpu.utils import config as config_utils
 from fmdm_tpu.utils import checkpoint as ckpt_utils
@@ -213,6 +214,7 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             batch_iter = prefetch(epoch_batches(
                 dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
                 process_index=jax.process_index(), process_count=jax.process_count(),
+                num_workers=_cfg_workers(training_cfg),
             ))
         try:
             from tqdm import tqdm

@@ -48,6 +48,7 @@ from fmdm_tpu.utils import config as config_utils
 from fmdm_tpu.utils import checkpoint as ckpt_utils
 from fmdm_tpu.utils.evaluation import latent_shape, make_grid, prepare_eval_batch, save_image
 from fmdm_tpu.train import common
+from fmdm_tpu.train.common import cfg_num_workers as _cfg_workers
 from fmdm_tpu.train.common import epoch_batches
 
 EMA_KEYS = ("embedding", "ema_cluster_size", "ema_w")
@@ -424,6 +425,7 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             _batches = epoch_batches(
                 dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
                 process_index=jax.process_index(), process_count=jax.process_count(),
+                num_workers=_cfg_workers(training_cfg),
             )
         for batch in _batches:
             disc_active = _disc_is_active(discriminator is not None, gan_weight, gan_start,

@@ -106,3 +106,57 @@ def test_autotune_grad_accum_respects_disable_and_reraises():
     with pytest.raises(ValueError):
         autotune_grad_accum(build, trial_other, batch_size=8, grad_accum=1,
                             allow_microbatching=True)
+
+
+def test_epoch_batches_threaded_fetch_matches_serial():
+    """num_workers only changes WHO fetches dataset[i], never batch content:
+    threaded (default) and serial epochs must be bit-identical, and slow,
+    out-of-order sample arrival must not reorder within a batch."""
+    import time
+
+    import numpy as np
+
+    from fmdm_tpu.train.common import epoch_batches
+
+    class SlowDS:
+        def __init__(self, n=11):
+            rng = np.random.RandomState(7)
+            self.t = rng.randn(n, 1, 4, 4).astype(np.float32)
+
+        def __len__(self):
+            return len(self.t)
+
+        def __getitem__(self, i):
+            time.sleep(0.01 * (i % 3))  # jitter completion order
+            return {"target": self.t[i], "image": None}
+
+    ds = SlowDS()
+    kw = dict(shuffle=True, seed=3, epoch=2)
+    serial = list(epoch_batches(ds, 4, num_workers=0, **kw))
+    threaded = list(epoch_batches(ds, 4, num_workers=4, **kw))
+    auto = list(epoch_batches(ds, 4, **kw))  # default: auto thread count
+    assert len(serial) == len(threaded) == len(auto) == 3
+    for s, t, a in zip(serial, threaded, auto):
+        np.testing.assert_array_equal(s["target"], t["target"])
+        np.testing.assert_array_equal(s["target"], a["target"])
+        np.testing.assert_array_equal(s["valid"], t["valid"])
+
+
+def test_epoch_batches_threaded_fetch_propagates_errors():
+    import numpy as np
+
+    from fmdm_tpu.train.common import epoch_batches
+
+    class BoomDS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("bad sample")
+            return {"target": np.zeros((1, 4, 4), np.float32), "image": None}
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="bad sample"):
+        list(epoch_batches(BoomDS(), 4, shuffle=False, seed=0, epoch=0, num_workers=4))
