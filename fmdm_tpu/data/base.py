@@ -251,3 +251,31 @@ class BaseDataset:
         array = np.asarray(image)
         sliced = array[start : start + window].copy()
         return {"Image": sliced, "Metadata": payload.get("Metadata"), "Id": payload.get("Id")}
+
+
+def run_self_tests() -> None:
+    """Embedded self-test (reference datasets/base.py self-test tier): split
+    file discovery, [0,1] contract, sample dict schema."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        root = Path(td)
+        (root / "imgs").mkdir()
+        names = []
+        for i in range(4):
+            p = root / "imgs" / f"s{i}.npy"
+            np.save(p, np.random.RandomState(i).rand(8, 8).astype(np.float32))
+            names.append(f"imgs/s{i}.npy")
+        (root / "train.txt").write_text("target\n" + "\n".join(names[:3]) + "\n")
+        (root / "test.txt").write_text("target\n" + names[3] + "\n")
+
+        train_ds = BaseDataset(str(root), train=True)
+        test_ds = BaseDataset(str(root), train=False)
+        assert len(train_ds) == 3 and len(test_ds) == 1
+
+        sample = train_ds[0]
+        img = np.asarray(sample["target"])
+        assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0  # [0,1] contract
+        assert sample["image"] is not None  # unconditional: image mirrors target
+        for key in ("image", "target", "img_id", "img_path", "img_size"):
+            assert key in sample

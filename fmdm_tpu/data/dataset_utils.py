@@ -350,3 +350,32 @@ def to_2d_image(arr: np.ndarray) -> Optional[np.ndarray]:
         return None
     img = np.clip(img, 0.0, 1.0)
     return np.round(img * 255.0).astype(np.uint8)
+
+
+def run_self_tests() -> None:
+    """Embedded self-test (reference dataset_utils.py self-test tier):
+    windowing split, cache-path mapping, atomic tensor cache round-trip."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        root = Path(td)
+        vol = root / "vol.npy"
+        np.save(vol, np.zeros((10, 4, 4), np.float32))
+        parts = split_volume_entry(str(vol), 3)
+        assert len(parts) == 8
+        assert parts[0]["split_index"] == 0 and parts[-1]["split_index"] == 7
+        assert all(p["window"] == 3 for p in parts)
+        img = root / "img.npy"
+        np.save(img, np.zeros((4, 4), np.float32))
+        assert split_volume_entry(str(img), 0) == [str(img)]
+
+        cache = cache_path_for_entry(root / "a" / "b.npy", root / "cache", "a/b.npy")
+        assert str(cache).startswith(str(root / "cache"))
+        arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+        save_tensor_cache(arr, cache)
+        back = load_tensor_cache(cache)
+        np.testing.assert_array_equal(back, arr)
+
+    batches = list(iter_batches(list(range(7)), 3))
+    assert [len(samples) for _, samples in batches] == [3, 3, 1]
+    assert batches[0][0] == [0, 1, 2]

@@ -387,3 +387,35 @@ def build_ldct_from_config(training_cfg: dict, _model_cfg, train: bool):
         cache_subdir=training_cfg.get("tensor_cache_subdir", "cache"),
         preprocess_kwargs=training_cfg.get("preprocess_kwargs"),
     )
+
+
+def run_self_tests() -> None:
+    """Embedded self-test (reference datasets/ldct.py self-test tier): lot-id
+    naming, HU rescale + windowing round-trip, DICOM-tag override."""
+    df = pd.DataFrame({"case": ["C1", "C2"], "files": [["a/001.npy", "a/003.npy"], None]})
+    out = lot_id(df, "case", "files")
+    assert out.at[0, "case"] == "IC1S0F001T003C2"
+    assert out.at[1, "case"] == "C2"  # non-list rows keep their id
+
+    ds = object.__new__(LDCTDataset)
+    ds.norm = True
+    ds.img_datatype = np.float32
+    ds.img_size = None
+
+    # raw CT pixels (unsigned) -> HU via fallback intercept -1024 -> [0,1]
+    raw = np.array([[0.0, 1024.0], [2048.0, 4096.0]], np.float32)
+    img = ds.preprocess(raw)
+    assert img.shape == (1, 2, 2)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    hu = raw - 1024.0
+    expected = np.clip((hu - HU_WINDOW_LO) / (HU_WINDOW_HI - HU_WINDOW_LO), 0, 1)
+    np.testing.assert_allclose(img[0], expected, atol=1e-6)
+
+    # DICOM rescale tags override the fallback
+    tagged = ds.preprocess({"Image": raw, "Metadata": {"RescaleSlope": 1.0, "RescaleIntercept": 0.0}})
+    np.testing.assert_allclose(
+        tagged[0], np.clip((raw - HU_WINDOW_LO) / (HU_WINDOW_HI - HU_WINDOW_LO), 0, 1), atol=1e-6)
+
+    # to_image/from_image inverse inside the window
+    mid = np.array([[-500.0, 0.0], [100.0, 200.0]], np.float32)
+    np.testing.assert_allclose(ds.from_image(ds.to_image(mid)), mid, atol=0.5)

@@ -413,3 +413,38 @@ class UnPoolND(Module):
         if self.is_identity:
             return x
         return self.up(params["up"], x)
+
+
+def run_self_tests() -> None:
+    """Embedded self-test (reference residual.py:344 / attention.py self-test
+    tier, SURVEY.md §4): block shapes + residual identity at zero-init."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 8, 16, 16))
+    emb = jax.random.normal(key, (2, 32))
+
+    for scale_shift in (False, True):
+        block = ResBlockND(8, 32, dropout=0.0, out_channels=8,
+                           use_scale_shift_norm=scale_shift, norm_groups=4)
+        p = block.init(key)
+        y = block(p, x, emb=emb)
+        assert y.shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(y)))
+
+    attn = SpatialSelfAttention(8, heads=2, dim_head=4)
+    y = attn(attn.init(key), x)
+    assert y.shape == x.shape
+
+    up = UpsampleND(2, 8, use_conv=False)
+    assert up(up.init(key), x).shape == (2, 8, 32, 32)
+    down = DownsampleND(2, 8, use_conv=True)
+    assert down(down.init(key), x).shape == (2, 8, 8, 8)
+
+    pool = PoolND(2, 8, 8, pool_factor=2)
+    unpool = UnPoolND(2, 8, 8, pool_factor=2)
+    pooled = pool(pool.init(key), x)
+    assert pooled.shape == (2, 8, 8, 8)
+    assert unpool(unpool.init(key), pooled).shape == x.shape
+    np.testing.assert_array_equal(
+        np.asarray(PoolND(2, 8, 8, pool_factor=1)({}, x)), np.asarray(x))

@@ -96,3 +96,26 @@ def layer_norm(x: jax.Array, weight, bias, *, eps: float = 1e-5) -> jax.Array:
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(orig_dtype)
+
+
+def run_self_tests() -> None:
+    """Embedded self-test: GN/RMS/LN statistics vs direct numpy."""
+    import numpy as np
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 5, 5))
+    y = np.asarray(group_norm(x, None, None, num_groups=4))
+    ref = np.asarray(x, np.float64).reshape(2, 4, -1)
+    ref = (ref - ref.mean(-1, keepdims=True)) / np.sqrt(ref.var(-1, keepdims=True) + 1e-5)
+    np.testing.assert_allclose(y, ref.reshape(y.shape), atol=2e-4)
+
+    assert safe_num_groups(6, 32) == 6 and safe_num_groups(48, 32) == 24
+
+    w = jnp.full((8,), 2.0)
+    r = np.asarray(rms_norm_nd(x, w))
+    xf = np.asarray(x, np.float64)
+    rms = np.sqrt((xf ** 2).mean(axis=(1, 2, 3), keepdims=True) + 1e-6)
+    np.testing.assert_allclose(r, 2.0 * xf / rms, atol=2e-4)
+
+    ln = np.asarray(layer_norm(x, None, None))
+    lref = (xf - xf.mean(-1, keepdims=True)) / np.sqrt(xf.var(-1, keepdims=True) + 1e-5)
+    np.testing.assert_allclose(ln, lref, atol=2e-4)

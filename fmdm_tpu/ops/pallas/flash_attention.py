@@ -155,3 +155,105 @@ def flash_attention(
     v3 = v.reshape((-1, tk, v.shape[-1]))
     out = _flash_attention_3d(q3, k3, v3, float(scale), int(min(block_q, tq)), int(block_k_eff))
     return out.reshape(lead + (tq, d))
+
+
+# ---------------------------------------------------------------------------
+# Head-packed small-T attention
+# ---------------------------------------------------------------------------
+#
+# The diffusers-parity UNet attention runs at tiny sequence length with many
+# tiny heads (attention_head_dim=8 -> 64 heads of d=8 at 16², 256 tokens).
+# XLA materializes the f32 (BH, T, T) score tensor in HBM three times over
+# (QKᵀ write, softmax read+write, PV read) — ~20% of flagship forward device
+# time for ~4 GFLOP of actual work. Below the flash threshold the fix is not
+# an online softmax (T fits in VMEM whole) but score locality: one grid step
+# loads a *pack* of heads and runs QKᵀ → softmax → PV per head entirely
+# in VMEM, so scores never touch HBM.
+#
+# Backward falls back to the XLA formulation via custom_vjp (attention at
+# these shapes is a negligible share of the training step; the win targeted
+# here is the sampling path, which is forward-only).
+
+def _mha_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, head_pack: int):
+    # blocks: q/k/v/o (1, head_pack, T, d); static unrolled head loop
+    for h in range(head_pack):
+        q = q_ref[0, h].astype(jnp.float32) * scale     # (T, d)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (T, T) in VMEM
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+def _mha_packed_forward(q, k, v, scale, head_pack):
+    bh, t, d = q.shape
+    packs = bh // head_pack
+    q4 = q.reshape(packs, head_pack, t, d)
+    k4 = k.reshape(packs, head_pack, t, d)
+    v4 = v.reshape(packs, head_pack, t, v.shape[-1])
+    out = pl.pallas_call(
+        functools.partial(_mha_packed_kernel, scale=scale, head_pack=head_pack),
+        grid=(packs,),
+        in_specs=[
+            pl.BlockSpec((1, head_pack, t, d), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, head_pack, t, d), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, head_pack, t, v.shape[-1]), lambda b: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, head_pack, t, v.shape[-1]), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((packs, head_pack, t, v.shape[-1]), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(q4, k4, v4)
+    return out.reshape(bh, t, v.shape[-1])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _mha_packed_3d(q, k, v, scale, head_pack):
+    return _mha_packed_forward(q, k, v, scale, head_pack)
+
+
+def _mha_packed_fwd_rule(q, k, v, scale, head_pack):
+    return _mha_packed_forward(q, k, v, scale, head_pack), (q, k, v)
+
+
+def _mha_packed_bwd_rule(scale, head_pack, res, g):
+    q, k, v = res
+
+    def ref_attn(q, k, v):
+        s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32) * scale, k.astype(jnp.float32))
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+    _, vjp = jax.vjp(ref_attn, q, k, v)
+    return vjp(g)
+
+
+_mha_packed_3d.defvjp(_mha_packed_fwd_rule, _mha_packed_bwd_rule)
+
+
+def mha_small_t(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    max_head_pack: int = 16,
+) -> jax.Array:
+    """Head-packed attention for small self-attention (T == S, T ≤ ~512)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    lead = q.shape[:-2]
+    tq, d = q.shape[-2:]
+    q3 = q.reshape((-1, tq, d))
+    k3 = k.reshape((-1, tq, d))
+    v3 = v.reshape((-1, tq, v.shape[-1]))
+    bh = q3.shape[0]
+    head_pack = 1
+    for candidate in (max_head_pack, 8, 4, 2, 1):
+        if candidate <= max_head_pack and bh % candidate == 0:
+            head_pack = candidate
+            break
+    out = _mha_packed_3d(q3, k3, v3, float(scale), int(head_pack))
+    return out.reshape(lead + (tq, v.shape[-1]))

@@ -69,6 +69,20 @@ def max_pool_nd(
     k = _normalize(kernel_size, nd)
     s = _normalize(stride if stride is not None else kernel_size, nd)
     p = _normalize(padding, nd)
+    if k == s and all(pi == 0 for pi in p) and all(
+        dim % ki == 0 for dim, ki in zip(x.shape[2:], k)
+    ):
+        # Non-overlapping pool: reshape + max. Same forward values as the
+        # window reduce, but reverse-mode differentiable under lax.scan —
+        # grad of reduce_window(max) fails to linearize inside scan bodies
+        # (the trainers' grad-accumulation scan hits this through the
+        # perceptual loss VGG pools).
+        shape = list(x.shape[:2])
+        axes = []
+        for dim, ki in zip(x.shape[2:], k):
+            shape.extend((dim // ki, ki))
+            axes.append(len(shape) - 1)
+        return jnp.max(x.reshape(shape), axis=tuple(axes))
     window = (1, 1) + k
     strides = (1, 1) + s
     pads = ((0, 0), (0, 0)) + tuple((pi, pi) for pi in p)

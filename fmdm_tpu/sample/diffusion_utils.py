@@ -240,3 +240,27 @@ def prepare_diffusion_visual_batch(dataset, count: int, seed: Optional[int] = No
     else:
         cond_batch = None
     return target_batch, cond_batch
+
+
+def run_self_tests() -> None:
+    """Embedded self-test (reference model_utils/diffusion_utils.py self-test
+    tier): legacy key remap table + shape-checked partial load."""
+    state = {
+        "mid.attentions.0.query.weight": np.zeros((4, 4), np.float32),
+        "down.resnets.0.conv1.weight": np.zeros((4, 4, 3, 3), np.float32),
+        "down.resnets.0.time_emb_proj.bias": np.zeros((4,), np.float32),
+        "up.upsamplers.0.conv.weight": np.zeros((4, 4, 3, 3), np.float32),
+        "plain.weight": np.zeros((2,), np.float32),
+    }
+    remapped = remap_legacy_unet_keys(state)
+    assert "mid.attentions.0.to_q.weight" in remapped
+    assert "down.resnets.0.conv1.conv.weight" in remapped
+    assert "down.resnets.0.emb_layers.bias" in remapped
+    assert "up.upsamplers.0.conv.conv.weight" in remapped
+    assert "plain.weight" in remapped
+
+    expected = {"a": {"weight": jnp.zeros((2, 2))}, "b": {"bias": jnp.zeros((3,))}}
+    merged = load_legacy_unet_state(
+        expected, {"a.weight": np.ones((2, 2), np.float32)}, strict_shapes=False)
+    np.testing.assert_allclose(np.asarray(merged["a"]["weight"]), 1.0)
+    np.testing.assert_allclose(np.asarray(merged["b"]["bias"]), 0.0)

@@ -331,3 +331,27 @@ def create_experiment_dir(output_dir, mode: str, scheduler: Optional[str],
     exp_dir = root / "_".join(pieces)
     exp_dir.mkdir(parents=True, exist_ok=False)
     return exp_dir
+
+
+def run_self_tests() -> None:
+    """Embedded self-test (reference utils/sampling_utils.py self-test tier):
+    checkpoint resolution order, experiment-dir naming, eval CSV schema."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        root = Path(td)
+        # resolve_checkpoint prefers <prefix>_best.pt over _last.pt
+        (root / "diff_last.pt").write_bytes(b"x")
+        assert resolve_checkpoint(root, "diffusion").name == "diff_last.pt"
+        (root / "diff_best.pt").write_bytes(b"x")
+        assert resolve_checkpoint(root, "diffusion").name == "diff_best.pt"
+
+        exp = create_experiment_dir(root / "exp", "sample", "dpmsolver++", None,
+                                    None, 50, 8, seed=42, batch_size=4)
+        assert exp is not None and exp.exists()
+        assert "dpmsolverpp" in exp.name and "steps50" in exp.name
+        assert "seed42" in exp.name and "bs4" in exp.name
+
+        out = append_eval_metrics(root, {"samples": 2, "mse": 0.5, "psnr": 3.0})
+        header = out.read_text().splitlines()[0]
+        assert header.startswith("samples")

@@ -63,3 +63,27 @@ def reconstruct_vae_batch(model, params, batch: jax.Array, recon_type: str = "l1
     else:
         rec, _ = model(params, inputs, sample_posterior=False)
     return jnp.clip(model.raw_output_to_image(rec, recon_type=recon_type), 0.0, 1.0)
+
+
+def run_self_tests() -> None:
+    """Embedded self-test (reference model_utils/vae_utils.py self-test tier):
+    config-driven VAE build + encode/decode round-trip shapes."""
+    import json
+    import tempfile
+
+    cfg = {"model": {"model_type": "vae", "latent_type": "kl", "in_channels": 1,
+                     "out_channels": 1, "resolution": 16, "base_ch": 8,
+                     "ch_mult": [1, 2], "num_res_blocks": 1, "z_channels": 2,
+                     "embed_dim": 2, "use_attention": False},
+           "training": {}}
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+        json.dump(cfg, fh)
+        cfg["__config_path__"] = fh.name
+    model, params = build_vae_model(cfg, rng=jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 16, 16))
+    z = encode_vae_batch(model, params, x)
+    assert z.shape[0] == 2 and z.shape[1] == 2
+    rec = decode_vae_batch(model, params, z)
+    assert rec.shape == x.shape
+    rt = reconstruct_vae_batch(model, params, x)
+    assert rt.shape == x.shape and bool(jnp.all(jnp.isfinite(rt)))
