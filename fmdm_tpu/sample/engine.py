@@ -151,7 +151,11 @@ class SamplingEngine:
                 i, step_rng = inp
                 t = timesteps_const[i]
                 t_b = jnp.broadcast_to(t.astype(jnp.int32) if is_int_t else t, (x.shape[0],))
-                model_input = x if compute_dtype is None else x.astype(compute_dtype)
+                # sigma-space schedulers (DPMSolverSDE) scale the model input;
+                # identity for the VP schedulers (diffusers API surface)
+                model_input = scheduler.scale_model_input(x, i, timesteps_const)
+                if compute_dtype is not None:
+                    model_input = model_input.astype(compute_dtype)
                 ctx = None
                 if mode == "concatenate" and cond is not None:
                     model_input = jnp.concatenate([model_input, cond], axis=1)
@@ -184,7 +188,7 @@ class SamplingEngine:
         del rng  # consumed
         current = init_sample if init_sample is not None else jax.random.normal(
             rng_init, sample_shape, dtype=jnp.float32
-        )
+        ) * getattr(self.scheduler, "init_noise_sigma", 1.0)
         cond = align_conditioning(conditioning_batch, current.shape[0])
         if self.conditioning_mode == "attention":
             cond = normalize_latent_conditioning(cond, self.latent_norm)

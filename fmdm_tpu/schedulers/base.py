@@ -104,6 +104,16 @@ class Scheduler:
     ) -> Tuple[Dict[str, Any], jax.Array]:
         raise NotImplementedError
 
+    def scale_model_input(self, sample: jax.Array, index, timesteps) -> jax.Array:
+        """Pre-model input scaling (diffusers API). Identity for the
+        variance-preserving schedulers; sigma-space schedulers (DPMSolverSDE)
+        divide by sqrt(sigma²+1)."""
+        return sample
+
+    # initial-noise magnitude (diffusers API): 1.0 for VP schedulers,
+    # sigma_max for sigma-space schedulers (set during set_timesteps)
+    init_noise_sigma: float = 1.0
+
     # ---- helpers ---------------------------------------------------------
     @property
     def needs_noise(self) -> bool:

@@ -16,25 +16,9 @@ from fmdm_tpu.schedulers.base import Scheduler
 from fmdm_tpu.schedulers.ddim import DDIMScheduler
 from fmdm_tpu.schedulers.ddpm import DDPMScheduler
 from fmdm_tpu.schedulers.dpm import DPMSolverMultistepScheduler
+from fmdm_tpu.schedulers.dpm_sde import DPMSolverSDEScheduler
 from fmdm_tpu.schedulers.flow_match import FlowMatchEulerDiscreteScheduler
 from fmdm_tpu.schedulers.unipc import UniPCMultistepScheduler
-
-
-class DPMSolverSDEScheduler(DPMSolverMultistepScheduler):
-    """Stochastic DPM-Solver (the reference's 'dpm_sde' registry entry).
-
-    Implemented as multistep SDE-DPM-Solver++ (midpoint, one model eval per
-    step) — capability parity with diffusers' DPMSolverSDEScheduler, with
-    counter-based JAX RNG instead of a Brownian tree (distribution-level
-    equivalence; see SURVEY.md §7.3 item 6)."""
-
-    @classmethod
-    def create(cls, num_train_timesteps: int = 1000, **params):
-        params = dict(params)
-        params["algorithm_type"] = "sde-dpmsolver++"
-        params.setdefault("solver_order", 2)
-        base = DPMSolverMultistepScheduler.create.__func__(cls, num_train_timesteps, **params)
-        return base
 
 
 SCHEDULER_REGISTRY: Dict[str, type] = {

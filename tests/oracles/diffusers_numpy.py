@@ -469,3 +469,118 @@ class NpFlowMatchEuler:
         sigma_next = self.sigmas[self.step_index + 1]
         self.step_index += 1
         return sample + (sigma_next - sigma) * model_output
+
+
+class NpDPMSolverSDE:
+    """Sequential float64 oracle for diffusers' DPMSolverSDEScheduler,
+    expressed with the mutable first/second-order state machine of
+    scheduling_dpmsolver_sde.py (sample stored across the pair, midpoint
+    sigma cached) rather than precomputed per-call tables."""
+
+    def __init__(self, num_train_timesteps=1000, beta_start=1e-4, beta_end=0.02,
+                 beta_schedule="linear", prediction_type="epsilon", use_karras_sigmas=False):
+        betas = _betas(beta_schedule, num_train_timesteps, beta_start, beta_end)
+        self.acp = np.cumprod(1.0 - betas)
+        self.N = num_train_timesteps
+        self.prediction_type = prediction_type
+        self.use_karras_sigmas = use_karras_sigmas
+
+    def _sigma_to_t(self, sigma, log_sigmas):
+        log_sigma = np.log(np.float64(sigma))
+        dists = log_sigma - log_sigmas
+        low_idx = np.cumsum((dists >= 0)).argmax().clip(max=log_sigmas.shape[0] - 2)
+        high_idx = low_idx + 1
+        low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+        w = np.clip((low - log_sigma) / (low - high), 0, 1)
+        return (1 - w) * low_idx + w * high_idx
+
+    def set_timesteps(self, n):
+        sig_train = np.sqrt((1 - self.acp) / self.acp)
+        log_sigmas = np.log(sig_train)
+        timesteps = np.linspace(0, self.N - 1, n, dtype=np.float64)[::-1].copy()
+        sigmas = np.interp(timesteps, np.arange(self.N), sig_train)
+        if self.use_karras_sigmas:
+            smin, smax = sigmas[-1], sigmas[0]
+            ramp = np.linspace(0, 1, len(sigmas))
+            sigmas = (smax ** (1 / 7.0) + ramp * (smin ** (1 / 7.0) - smax ** (1 / 7.0))) ** 7.0
+            timesteps = np.array([self._sigma_to_t(s, log_sigmas) for s in sigmas])
+        # second-order (midpoint) timesteps as diffusers computes them
+        t = -np.log(sigmas)
+        t_proposed = t[:-1] + 0.5 * (t[1:] - t[:-1])
+        mids = np.array([self._sigma_to_t(np.exp(-tp), log_sigmas) for tp in t_proposed])
+        sigmas = np.concatenate([sigmas, [0.0]])
+        self.sigmas = np.concatenate([sigmas[:1], np.repeat(sigmas[1:-1], 2), sigmas[-1:]])
+        inter = np.concatenate([timesteps[:1], np.repeat(timesteps[1:], 2)])
+        inter[1::2] = mids
+        self.timesteps = inter
+        self.sample = None
+        self.mid_point_sigma = None
+        self.step_index = 0
+        self.init_noise_sigma = sigmas[0]
+        self.sig_train = sig_train
+        return inter
+
+    @property
+    def state_in_first_order(self):
+        return self.sample is None
+
+    def scale_model_input(self, sample, t=None):
+        sigma = self.sigmas[self.step_index]
+        sigma_input = sigma if self.state_in_first_order else self.mid_point_sigma
+        return sample / np.sqrt(sigma_input**2 + 1)
+
+    def add_noise(self, x0, noise, t):
+        sigma = self.sig_train[np.asarray(t, np.int64)]
+        sigma = sigma.reshape(sigma.shape + (1,) * (x0.ndim - sigma.ndim))
+        return x0 + sigma * noise
+
+    def step(self, model_output, t, sample, noise):
+        def sigma_fn(_t):
+            return np.exp(-_t)
+
+        def t_fn(_sigma):
+            return -np.log(_sigma)
+
+        if self.state_in_first_order:
+            sigma = self.sigmas[self.step_index]
+            sigma_next = self.sigmas[self.step_index + 1]
+        else:
+            sigma = self.sigmas[self.step_index - 1]
+            sigma_next = self.sigmas[self.step_index]
+        self.step_index += 1
+
+        t_cur, t_next = t_fn(sigma), t_fn(sigma_next)
+        t_proposed = t_cur + 0.5 * (t_next - t_cur)
+
+        sigma_input = sigma if self.state_in_first_order else sigma_fn(t_proposed)
+        if self.prediction_type == "epsilon":
+            denoised = sample - sigma_input * model_output
+        elif self.prediction_type == "v_prediction":
+            denoised = model_output * (-sigma_input / np.sqrt(sigma_input**2 + 1)) \
+                + sample / (sigma_input**2 + 1)
+        else:
+            raise ValueError(self.prediction_type)
+
+        if sigma_next == 0:
+            derivative = (sample - denoised) / sigma
+            prev = sample + derivative * (sigma_next - sigma)
+        else:
+            if self.state_in_first_order:
+                t_next = t_proposed
+            else:
+                sample = self.sample
+            sigma_from = sigma_fn(t_cur)
+            sigma_to = sigma_fn(t_next)
+            sigma_up = min(sigma_to, np.sqrt(sigma_to**2 * (sigma_from**2 - sigma_to**2) / sigma_from**2))
+            sigma_down = np.sqrt(sigma_to**2 - sigma_up**2)
+            ancestral_t = t_fn(sigma_down)
+            prev = (sigma_fn(ancestral_t) / sigma_fn(t_cur)) * sample \
+                - np.expm1(t_cur - ancestral_t) * denoised
+            prev = prev + noise * sigma_up
+            if self.state_in_first_order:
+                self.sample = sample
+                self.mid_point_sigma = sigma_fn(t_next)
+            else:
+                self.sample = None
+                self.mid_point_sigma = None
+        return prev

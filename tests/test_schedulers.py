@@ -105,9 +105,24 @@ def test_dpm_oracle_recovers_x0(algorithm, order):
 
 
 def test_dpm_sde_oracle_converges_to_x0():
+    # sigma-space scheduler (k-diffusion family): init noise at sigma_max,
+    # model input scaled by 1/sqrt(sigma^2+1), eps oracle in sigma space.
+    # With an exact eps oracle every denoisement equals X0, so the final
+    # Euler-to-zero step lands on X0 exactly despite the per-step ancestral
+    # noise injections.
     sched = DPMSolverSDEScheduler.create(num_train_timesteps=1000)
-    out = _run_sampler(sched, _oracle_eps(sched), 50)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(X0), atol=8e-2)
+    timesteps = jnp.asarray(sched.set_timesteps(50))
+    x = jax.random.normal(KEY, X0.shape) * sched.init_noise_sigma
+    state = sched.init_state(timesteps, x)
+    rngs = jax.random.split(jax.random.PRNGKey(1), timesteps.shape[0])
+    assert timesteps.shape[0] == 2 * 50 - 1  # interleaved midpoints
+    for i in range(timesteps.shape[0]):
+        scaled = sched.scale_model_input(x, jnp.asarray(i), timesteps)
+        assert bool(jnp.all(jnp.isfinite(scaled)))
+        sigma = sched._sigma_call[i]
+        pred = (x - X0) / sigma  # exact eps for a sigma-space sample
+        state, x = sched.step(state, pred, i, x, timesteps, rng=rngs[i])
+    np.testing.assert_allclose(np.asarray(x), np.asarray(X0), atol=1e-3)
 
 
 def test_unipc_oracle_recovers_x0():
