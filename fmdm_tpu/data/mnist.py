@@ -46,6 +46,14 @@ def _find_idx(root: Path, stem: str) -> Optional[Path]:
     return None
 
 
+def _find_npz_under(root: Path) -> Optional[Path]:
+    for candidate in (root / "mnist.npz", root / "MNIST" / "mnist.npz",
+                      root / "MNIST" / "raw" / "mnist.npz"):
+        if candidate.exists():
+            return candidate
+    return None
+
+
 def _synthetic_digits(n: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic digit-like 28x28 images: oriented strokes + blobs per
     class. Enough structure for smoke training/sampling without network."""
@@ -77,9 +85,18 @@ class MNISTDataset:
         stem_lbl = "train-labels-idx1-ubyte" if train else "t10k-labels-idx1-ubyte"
         img_path = _find_idx(self.root, stem_img)
         lbl_path = _find_idx(self.root, stem_lbl)
+        npz_path = _find_npz_under(self.root)
         if img_path is not None and lbl_path is not None:
             self.images = _read_idx(img_path)
             self.labels = _read_idx(lbl_path).astype(np.int64)
+            self.synthetic = False
+        elif npz_path is not None:
+            # keras-style mnist.npz (x_train/y_train/x_test/y_test) — the most
+            # common offline MNIST artifact; drop it anywhere under data_root
+            with np.load(npz_path) as payload:
+                suffix = "train" if train else "test"
+                self.images = np.asarray(payload[f"x_{suffix}"], np.uint8)
+                self.labels = np.asarray(payload[f"y_{suffix}"], np.int64)
             self.synthetic = False
         else:
             n = 4096 if train else 512

@@ -133,3 +133,27 @@ def test_base_dataset_via_dataset_json(tmp_path):
     sample = ds[0]
     # generic float data outside [0,1] min-max normalizes (base.py:94-114)
     assert float(np.max(sample["target"])) <= 1.0
+
+
+def test_mnist_loads_keras_npz(tmp_path):
+    """Real-MNIST acquisition via the keras-style mnist.npz artifact
+    (torchvision download is impossible in this image; npz or IDX files
+    dropped under data_root are picked up with no code change)."""
+    import numpy as np
+
+    from fmdm_tpu.data.mnist import MNISTDataset
+
+    rng = np.random.RandomState(0)
+    np.savez(tmp_path / "mnist.npz",
+             x_train=rng.randint(0, 255, (12, 28, 28), dtype=np.uint8),
+             y_train=rng.randint(0, 10, (12,)).astype(np.int64),
+             x_test=rng.randint(0, 255, (5, 28, 28), dtype=np.uint8),
+             y_test=rng.randint(0, 10, (5,)).astype(np.int64))
+    train = MNISTDataset(str(tmp_path), train=True, img_size=32)
+    test = MNISTDataset(str(tmp_path), train=False, img_size=32)
+    assert not train.synthetic and not test.synthetic
+    assert len(train) == 12 and len(test) == 5
+    s = train[0]
+    img = np.asarray(s["target"])
+    assert img.shape[-2:] == (32, 32)
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
