@@ -196,8 +196,28 @@ class BaseDataset:
             tensor = payload.get("Image") if isinstance(payload, dict) else payload
         tensor = np.ascontiguousarray(np.asarray(tensor, dtype=np.float32))
         if self.save_tensor_cache and cache_path is not None and not cache_path.exists():
-            save_tensor_cache(tensor, cache_path)
+            # Fire-and-forget: the torch-container serialization holds the GIL
+            # for tens of ms per sample, which would serialize the threaded
+            # cold-cache fetch path; a single background writer keeps cache
+            # population off the training critical path (writes are atomic
+            # unique-tmp, and a dropped write just re-preprocesses next epoch).
+            self._cache_writer().submit(save_tensor_cache, tensor, cache_path)
         return tensor
+
+    def _cache_writer(self):
+        writer = getattr(self, "_cache_writer_pool", None)
+        if writer is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            writer = ThreadPoolExecutor(max_workers=1, thread_name_prefix="cache-write")
+            object.__setattr__(self, "_cache_writer_pool", writer)
+        return writer
+
+    def flush_tensor_cache_writes(self) -> None:
+        """Block until all pending asynchronous cache writes have landed."""
+        writer = getattr(self, "_cache_writer_pool", None)
+        if writer is not None:
+            writer.submit(lambda: None).result()
 
     @staticmethod
     def _resolve_img_path(entry):

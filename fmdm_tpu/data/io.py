@@ -52,7 +52,12 @@ def load_image(path, id=None) -> Dict[str, Any]:
             if value is not None:
                 metadata[tag] = float(value)
     elif suffix == ".npy":
-        image = np.load(str(path))
+        # Memory-map volumes: slice-level samples (LDCT window splitting)
+        # touch only their own window's bytes instead of re-reading the full
+        # multi-slice volume per sample — np.load of a 25 MB volume holds the
+        # GIL ~15 ms and fully serialized the threaded cold-cache fetch path.
+        # Downstream windowing/copy materializes real arrays.
+        image = np.load(str(path), mmap_mode="r")
     elif suffix == ".npz":
         payload = np.load(str(path))
         image = payload[payload.files[0]]

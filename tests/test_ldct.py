@@ -78,6 +78,7 @@ def test_tensor_cache_roundtrip(tmp_path):
     ds = LDCTDataset(file_path=str(root), window_size=1, use_tensor_cache=True,
                      save_tensor_cache=True, cache_subdir="cache")
     first = np.array(ds[0]["target"])
+    ds.flush_tensor_cache_writes()  # cache writes are async (off the fetch path)
     cache_file = root / "cache" / "data" / "sdct_split_0.pt"
     assert cache_file.exists()
     # overwrite the source; cache should still serve the original values
