@@ -306,6 +306,9 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             with metrics_path.open("a") as handle:
                 handle.write(f"{epoch},{avg_loss:.6f}\n")
 
+    # drain async checkpoint writes so callers (eval, resume, tests) see
+    # final files on disk the moment train() returns
+    ckpt_utils.flush_checkpoint_writes()
     return output_dir
 
 

@@ -548,6 +548,9 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
                     gen_vis = np.clip(np.asarray(model.raw_output_to_image(gen, recon_type=recon_type)), 0, 1)
                     save_image(make_grid(gen_vis, rows_, cols_), epoch_dir / "gen.png")
 
+    # drain async checkpoint writes so callers (eval, resume, tests) see
+    # final files on disk the moment train() returns
+    ckpt_utils.flush_checkpoint_writes()
     return output_dir
 
 

@@ -57,26 +57,61 @@ def numpy_map_to_tree(mapping: Dict[str, np.ndarray]):
 # Save / load
 # ---------------------------------------------------------------------------
 
-# "torch" (default, reference-interop) or "orbax" (utils/orbax_ckpt.py) —
-# trainers set this from ``training.checkpoint_backend``.
+# "torch" (default, reference-interop) or "orbax" (utils/orbax_ckpt.py), each
+# with an "_async" variant that hands serialization + IO to a single
+# background writer thread (zero-stall saves on long runs: the training loop
+# only snapshots array references — JAX arrays are immutable, so the writer
+# serializes a consistent state while training continues). Trainers set this
+# from ``training.checkpoint_backend``.
 _BACKEND = "torch"
+_ASYNC = False
+_WRITER = None
+_PENDING: list = []
 
 
 def set_checkpoint_backend(name: str) -> None:
-    global _BACKEND
-    if name not in ("torch", "orbax"):
+    global _BACKEND, _ASYNC
+    base, _, suffix = str(name).partition("_")
+    if base not in ("torch", "orbax") or suffix not in ("", "async"):
         raise ValueError(f"Unknown checkpoint backend '{name}'")
-    _BACKEND = name
+    _BACKEND = base
+    _ASYNC = suffix == "async"
 
 
 def get_checkpoint_backend() -> str:
-    return _BACKEND
+    return _BACKEND + ("_async" if _ASYNC else "")
+
+
+def _writer():
+    global _WRITER
+    if _WRITER is None:
+        import atexit
+        from concurrent.futures import ThreadPoolExecutor
+
+        _WRITER = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt-write")
+        atexit.register(flush_checkpoint_writes)
+    return _WRITER
+
+
+def flush_checkpoint_writes() -> None:
+    """Block until all pending async checkpoint saves have landed; re-raise
+    the first writer error (a silently dropped checkpoint must not look like
+    a successful save)."""
+    global _PENDING
+    pending, _PENDING = _PENDING, []
+    for future in pending:
+        future.result()
 
 
 def save_checkpoint(state: Dict[str, Any], path, backend: Optional[str] = None) -> None:
     """state: {"model": params pytree, "optimizer": optax state | None,
     "epoch": int, "best_metric": float, ...}."""
-    if (backend or _BACKEND) == "orbax":
+    backend = backend or get_checkpoint_backend()
+    base, _, suffix = backend.partition("_")
+    if suffix == "async":
+        _PENDING.append(_writer().submit(save_checkpoint, state, path, base))
+        return
+    if base == "orbax":
         from fmdm_tpu.utils import orbax_ckpt
 
         orbax_ckpt.save_checkpoint(state, path)

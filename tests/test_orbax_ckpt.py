@@ -5,6 +5,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+import jax.numpy as jnp
 import optax
 import pytest
 
@@ -99,3 +100,41 @@ def test_trainer_with_orbax_backend(tmp_path):
     # model-param loading path used by samplers works on orbax dirs
     params = ckpt_utils.load_model_params(run_dir2 / "diff_last.pt")
     assert "conv_in" in params or len(params) > 0
+
+
+@pytest.mark.parametrize("backend", ["torch_async", "orbax_async"])
+def test_async_backend_roundtrip(tmp_path, backend):
+    """Async saves land after flush with identical payloads, order preserved
+    (the 'last' checkpoint must be the last save)."""
+    from fmdm_tpu.utils import checkpoint as ck
+
+    old = ck.get_checkpoint_backend()
+    try:
+        ck.set_checkpoint_backend(backend)
+        assert ck.get_checkpoint_backend() == backend
+        path = tmp_path / ("ck.pt" if backend.startswith("torch") else "ck")
+        for epoch in (1, 2, 3):  # successive saves to the same path
+            ck.save_checkpoint({"model": {"w": jnp.full((2, 2), float(epoch))},
+                                "epoch": epoch}, path)
+        ck.flush_checkpoint_writes()
+        payload = ck.load_checkpoint(path)
+        assert payload["epoch"] == 3
+        np.testing.assert_allclose(np.asarray(payload["model"]["w"]), 3.0)
+    finally:
+        ck.set_checkpoint_backend(old)
+
+
+def test_async_flush_reraises_writer_errors(tmp_path):
+    from fmdm_tpu.utils import checkpoint as ck
+
+    old = ck.get_checkpoint_backend()
+    try:
+        ck.set_checkpoint_backend("torch_async")
+        blocked = tmp_path / "no_dir_here"
+        blocked.write_text("a file where the save wants a directory")
+        ck.save_checkpoint({"model": {"w": jnp.zeros((1,))}, "epoch": 1},
+                           blocked / "sub" / "ck.pt")
+        with pytest.raises(Exception):
+            ck.flush_checkpoint_writes()
+    finally:
+        ck.set_checkpoint_backend(old)
