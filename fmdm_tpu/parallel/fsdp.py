@@ -1,0 +1,74 @@
+"""
+Fully-sharded data parallelism (ZeRO-3 style) via GSPMD parameter sharding.
+
+The reference scales only by replicated DDP (SURVEY.md §2.2); TP
+(parallel/tp.py) shards compute. FSDP shards *state*: every parameter and
+optimizer moment lives sliced across the ``data`` axis, and XLA's SPMD
+partitioner inserts the all-gathers that materialize a weight just-in-time
+for its op and the reduce-scatters that keep gradients/updates sharded —
+the standard JAX recipe (annotate shardings, let the partitioner place
+collectives on ICI). Per-device state memory drops ~N× on an N-way mesh,
+which is what lets optimizer-heavy (AdamW: 3× params) models train on
+small-HBM chips.
+
+Sharding rule: slice each tensor's largest dimension that the axis size
+divides (conv kernels usually slice the output-channel dim; embeddings the
+vocab dim); tensors with no divisible dim stay replicated. Elementwise
+optimizer math then runs fully sharded with zero communication; only the
+per-use gathers and grad reduce-scatters touch the interconnect.
+
+Composition: batches stay sharded over the same ``data`` axis (ordinary
+data parallelism), so ``training.fsdp: true`` is a drop-in on the existing
+1-D data mesh — and composes with ``tensor_parallel`` (params slice over
+``model`` first via tp.py; FSDP then slices a *different* dim over
+``data``).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def fsdp_leaf_spec(shape, axis_size: int, axis: str = "data") -> P:
+    """Slice the largest axis-divisible dim over ``axis``; else replicate."""
+    if len(shape) == 0:
+        return P()
+    candidates = [d for d in range(len(shape)) if shape[d] % axis_size == 0 and shape[d] >= axis_size]
+    if not candidates:
+        return P()
+    dim = max(candidates, key=lambda d: shape[d])
+    spec = [None] * len(shape)
+    spec[dim] = axis
+    return P(*spec)
+
+
+def fsdp_param_specs(params, mesh: Mesh, axis: str = "data"):
+    axis_size = mesh.shape[axis]
+
+    def spec(leaf):
+        return fsdp_leaf_spec(np.shape(leaf), axis_size, axis)
+
+    return jax.tree_util.tree_map(spec, params)
+
+
+def shard_params_fsdp(params, mesh: Mesh, axis: str = "data"):
+    specs = fsdp_param_specs(params, mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_opt_state_fsdp(opt_state, params, mesh: Mesh, axis: str = "data"):
+    """Optimizer moments mirror their parameter's sharding; step counters and
+    other non-param-shaped leaves replicate."""
+    shapes = {np.shape(leaf) for leaf in jax.tree_util.tree_leaves(params)}
+    axis_size = mesh.shape[axis]
+
+    def place(leaf):
+        shape = np.shape(leaf)
+        spec = fsdp_leaf_spec(shape, axis_size, axis) if shape in shapes else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, opt_state)

@@ -102,6 +102,15 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         mesh = tp_lib.create_dp_tp_mesh(n_data, tp)
         _place_params = lambda p: tp_lib.shard_params_tp(p, mesh)
         _place_opt = lambda s, p: tp_lib.shard_opt_state_tp(s, p, mesh)
+    elif bool(training_cfg.get("fsdp", False)):
+        # ZeRO-3-style fully-sharded DP (parallel/fsdp.py): parameters and
+        # optimizer moments live sliced over the data axis; XLA inserts the
+        # just-in-time weight all-gathers and gradient reduce-scatters.
+        from fmdm_tpu.parallel import fsdp as fsdp_lib
+
+        mesh = mesh_lib.create_mesh_for_batch(batch_size)
+        _place_params = lambda p: fsdp_lib.shard_params_fsdp(p, mesh)
+        _place_opt = lambda s, p: fsdp_lib.shard_opt_state_fsdp(s, p, mesh)
     else:
         mesh = mesh_lib.create_mesh_for_batch(batch_size)
         _place_params = lambda p: mesh_lib.replicate(mesh, p)
