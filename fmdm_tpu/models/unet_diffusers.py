@@ -168,8 +168,24 @@ class UNetDiffusersND(Module):
         t,
         context: Optional[jax.Array] = None,
         context_ca: Optional[jax.Array] = None,
+        deep_cache: Optional[jax.Array] = None,
+        cache_depth: Optional[int] = None,
+        return_deep_feature: bool = False,
         **kwargs,
     ) -> jax.Array:
+        """Standard full forward, plus an optional DeepCache-style split
+        ("Cache Me if You Can" / DeepCache: the deep sub-network's output
+        changes slowly across adjacent denoising steps, so it can be cached
+        and reused while only the shallow high-res levels are recomputed).
+
+        - ``return_deep_feature=True`` (with ``cache_depth=D``): full forward
+          that also returns the feature entering up block ``n_up - D`` — the
+          deep sub-network's output.
+        - ``deep_cache=<that feature>`` (with ``cache_depth=D``): recompute
+          only conv_in + down blocks 0..D-1 and up blocks n_up-D.., splicing
+          the cached deep feature in place of the skipped deep levels.
+        With a cache captured at the SAME (x, t), the spliced forward
+        reproduces the full forward exactly (tests pin this)."""
         if context is not None:
             x = jnp.concatenate([x, context], axis=1)
         if self.center_input_sample:
@@ -182,18 +198,48 @@ class UNetDiffusersND(Module):
         ).astype(x.dtype)
         emb = self.time_embedding(params["time_embedding"], t_emb)
 
+        n_up = len(self.up_blocks)
+        shallow_only = deep_cache is not None
+        if (shallow_only or return_deep_feature) and not (
+            cache_depth is not None and 1 <= cache_depth < n_up
+        ):
+            raise ValueError(f"cache_depth must be in [1, {n_up - 1}]")
+
         sample = self.conv_in(params["conv_in"], x)
         down_block_res_samples = (sample,)
-        for i, down_block in enumerate(self.down_blocks):
-            sample, res_samples = down_block(
+        n_down = len(self.down_blocks) if not shallow_only else cache_depth
+        for i in range(n_down):
+            sample, res_samples = self.down_blocks[i](
                 params["down_blocks"][str(i)], sample, emb, context=context_ca, **kwargs
             )
             down_block_res_samples += res_samples
 
-        if self.has_mid:
-            sample = self.mid_block(params["mid_block"], sample, emb, context=context_ca, **kwargs)
+        deep_feature = None
+        if shallow_only:
+            # splice: skip deep down blocks, mid block, and deep up blocks
+            sample = deep_cache
+            first_up = n_up - cache_depth
+            # the deepest shallow down block's downsampler output feeds a
+            # SKIPPED up block — keep only the entries the shallow up blocks
+            # actually consume (they pop from the end, shallowest last)
+            needed = sum(len(self.up_blocks[i].resnets) for i in range(first_up, n_up))
+            down_block_res_samples = down_block_res_samples[:needed]
+        else:
+            if self.has_mid:
+                sample = self.mid_block(params["mid_block"], sample, emb, context=context_ca, **kwargs)
+            for i, up_block in enumerate(self.up_blocks):
+                if return_deep_feature and i == n_up - cache_depth:
+                    deep_feature = sample
+                n_res = len(up_block.resnets)
+                res_samples = down_block_res_samples[-n_res:]
+                down_block_res_samples = down_block_res_samples[:-n_res]
+                sample = up_block(
+                    params["up_blocks"][str(i)], sample, res_samples, emb, context=context_ca, **kwargs
+                )
+            first_up = n_up  # all consumed above
 
-        for i, up_block in enumerate(self.up_blocks):
+        for i in range(first_up, n_up):
+            up_block = self.up_blocks[i]
             n_res = len(up_block.resnets)
             res_samples = down_block_res_samples[-n_res:]
             down_block_res_samples = down_block_res_samples[:-n_res]
@@ -204,6 +250,8 @@ class UNetDiffusersND(Module):
         sample = self.conv_norm_out(params["conv_norm_out"], sample)
         sample = jax.nn.silu(sample)
         sample = self.conv_out(params["conv_out"], sample)
+        if return_deep_feature:
+            return sample, deep_feature
         return sample
 
 

@@ -106,12 +106,21 @@ class SamplingEngine:
         latent_norm: Optional[str] = None,
         compute_dtype=None,
         mesh=None,
+        deep_cache: Optional[Tuple[int, int]] = None,
     ):
         self.model = model
         self.scheduler = scheduler
         self.timesteps = np.asarray(timesteps)
         self.conditioning_mode = conditioning_mode
         self.latent_norm = latent_norm
+        # Optional DeepCache-style inference acceleration (interval, depth):
+        # every `interval`-th step runs the full UNet and captures the deep
+        # sub-network's output; the steps between recompute only the shallow
+        # high-res levels and splice the cached deep feature back in
+        # (models/unet_diffusers.py __call__ docstring). interval=1 is
+        # numerically identical to the uncached engine. Beyond-reference
+        # capability — off by default.
+        self.deep_cache = tuple(deep_cache) if deep_cache else None
         # Optional data-parallel sampling: batch sharded over the mesh 'data'
         # axis, params replicated; XLA partitions the whole scan SPMD.
         self.mesh = mesh
@@ -135,6 +144,8 @@ class SamplingEngine:
         mode = self.conditioning_mode
         compute_dtype = self.compute_dtype
 
+        deep_cache = self.deep_cache
+
         def sample_fn(params, init, cond, rng):
             n = timesteps_const.shape[0]
             state = scheduler.init_state(timesteps_const, init)
@@ -146,9 +157,7 @@ class SamplingEngine:
                 if cond is not None:
                     cond = cond.astype(compute_dtype)
 
-            def body(carry, inp):
-                state, x = carry
-                i, step_rng = inp
+            def model_input_for(x, i):
                 t = timesteps_const[i]
                 t_b = jnp.broadcast_to(t.astype(jnp.int32) if is_int_t else t, (x.shape[0],))
                 # sigma-space schedulers (DPMSolverSDE) scale the model input;
@@ -161,12 +170,59 @@ class SamplingEngine:
                     model_input = jnp.concatenate([model_input, cond], axis=1)
                 elif mode == "attention" and cond is not None:
                     ctx = cond
-                pred = model(params, model_input, t_b, context_ca=ctx).astype(jnp.float32)
-                state, x = scheduler.step(state, pred, i, x, timesteps_const, rng=step_rng)
-                return (state, x), None
+                return model_input, t_b, ctx
 
-            (state, x), _ = jax.lax.scan(
-                body, (state, init), (jnp.arange(n), step_rngs)
+            if deep_cache is None:
+
+                def body(carry, inp):
+                    state, x = carry
+                    i, step_rng = inp
+                    model_input, t_b, ctx = model_input_for(x, i)
+                    pred = model(params, model_input, t_b, context_ca=ctx).astype(jnp.float32)
+                    state, x = scheduler.step(state, pred, i, x, timesteps_const, rng=step_rng)
+                    return (state, x), None
+
+                (state, x), _ = jax.lax.scan(
+                    body, (state, init), (jnp.arange(n), step_rngs)
+                )
+                return x
+
+            interval, depth = deep_cache
+            # deep-feature buffer shape via abstract eval of the capturing pass
+            mi0, tb0, ctx0 = model_input_for(init, jnp.int32(0))
+            _, feat_shape = jax.eval_shape(
+                lambda p, m, t, c: model(p, m, t, context_ca=c,
+                                         cache_depth=depth, return_deep_feature=True),
+                params, mi0, tb0, ctx0,
+            )
+            cache0 = jnp.zeros(feat_shape.shape, feat_shape.dtype)
+
+            def body(carry, inp):
+                state, x, cache = carry
+                i, step_rng = inp
+                model_input, t_b, ctx = model_input_for(x, i)
+
+                def full(operand):
+                    mi, _ = operand
+                    out, feat = model(params, mi, t_b, context_ca=ctx,
+                                      cache_depth=depth, return_deep_feature=True)
+                    return out, feat
+
+                def shallow(operand):
+                    mi, cached = operand
+                    out = model(params, mi, t_b, context_ca=ctx,
+                                deep_cache=cached, cache_depth=depth)
+                    return out, cached
+
+                pred, cache = jax.lax.cond(
+                    (i % interval) == 0, full, shallow, (model_input, cache)
+                )
+                state, x = scheduler.step(state, pred.astype(jnp.float32), i, x,
+                                          timesteps_const, rng=step_rng)
+                return (state, x, cache), None
+
+            (state, x, _), _ = jax.lax.scan(
+                body, (state, init, cache0), (jnp.arange(n), step_rngs)
             )
             return x
 

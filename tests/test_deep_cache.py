@@ -1,0 +1,88 @@
+"""DeepCache-style deep-feature caching (models/unet_diffusers.py splice +
+engine (interval, depth) scan). Beyond-reference inference acceleration from
+the block-caching family ("Cache Me if You Can" / DeepCache): cache the deep
+sub-network's slowly-varying output, recompute only the shallow high-res
+levels between refreshes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fmdm_tpu.models.factories import DiffusionUNetFactory
+
+UNET = {
+    "unet_impl": "diffusers_nd", "sample_size": 16, "in_channels": 1,
+    "out_channels": 1, "layers_per_block": 1, "norm_num_groups": 4,
+    "block_out_channels": [8, 16, 16],
+    "down_block_types": ["DownBlock2D", "DownBlock2D", "AttnDownBlock2D"],
+    "up_block_types": ["AttnUpBlock2D", "UpBlock2D", "UpBlock2D"],
+}
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = DiffusionUNetFactory().build(UNET, conditioning=None, channels=1)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+@pytest.mark.parametrize("depth", [1, 2])
+def test_splice_reproduces_full_forward(model_and_params, depth):
+    """A shallow pass fed the deep feature captured at the SAME (x, t) must
+    equal the full forward — the split is exact, approximation enters only
+    through cache staleness across steps."""
+    model, params = model_and_params
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 16, 16))
+    t = jnp.array([7, 3])
+
+    full = model(params, x, t)
+    full2, feat = model(params, x, t, cache_depth=depth, return_deep_feature=True)
+    np.testing.assert_allclose(np.asarray(full2), np.asarray(full), atol=1e-6)
+    assert feat.shape[0] == 2
+
+    spliced = model(params, x, t, deep_cache=feat, cache_depth=depth)
+    np.testing.assert_allclose(np.asarray(spliced), np.asarray(full), atol=1e-6)
+
+
+def test_invalid_depth_raises(model_and_params):
+    model, params = model_and_params
+    x = jnp.zeros((1, 1, 16, 16))
+    t = jnp.array([0])
+    with pytest.raises(ValueError):
+        model(params, x, t, cache_depth=3, return_deep_feature=True)
+    with pytest.raises(ValueError):
+        model(params, x, t, deep_cache=x, cache_depth=0)
+
+
+def test_engine_interval_one_matches_uncached(model_and_params):
+    from fmdm_tpu.sample.engine import SamplingEngine
+    from fmdm_tpu.schedulers import DDIMScheduler
+
+    model, params = model_and_params
+    sched = DDIMScheduler.create(num_train_timesteps=50)
+    ts = sched.set_timesteps(8)
+    base = SamplingEngine(model, sched, ts)
+    cached = SamplingEngine(model, sched, ts, deep_cache=(1, 1))
+    rng = jax.random.PRNGKey(5)
+    out_base = np.asarray(base(params, (2, 1, 16, 16), rng))
+    out_cached = np.asarray(cached(params, (2, 1, 16, 16), rng))
+    np.testing.assert_allclose(out_cached, out_base, atol=1e-5)
+
+
+def test_engine_cached_sampling_is_close(model_and_params):
+    """interval=3: cached trajectories stay finite and near the exact ones on
+    this tiny model (quality-at-scale is measured on TPU, BENCHMARKS.md)."""
+    from fmdm_tpu.sample.engine import SamplingEngine
+    from fmdm_tpu.schedulers import DDIMScheduler
+
+    model, params = model_and_params
+    sched = DDIMScheduler.create(num_train_timesteps=50)
+    ts = sched.set_timesteps(9)
+    base = SamplingEngine(model, sched, ts)
+    cached = SamplingEngine(model, sched, ts, deep_cache=(3, 1))
+    rng = jax.random.PRNGKey(5)
+    out_base = np.asarray(base(params, (2, 1, 16, 16), rng))
+    out_cached = np.asarray(cached(params, (2, 1, 16, 16), rng))
+    assert np.all(np.isfinite(out_cached))
+    assert np.abs(out_cached - out_base).mean() < 0.5 * np.abs(out_base).std() + 0.1
