@@ -55,7 +55,20 @@ _FLAG_SPEC = [
                                  help="Also save conditioning tensors when --save is enabled.")),
     ("--save_tensor_cache", dict(action="store_true",
                                  help="Force writing tensor cache files at runtime without editing train_config.json.")),
+    ("--deep_cache", dict(type=str, default=None,
+                          help="DeepCache acceleration 'INTERVAL' or 'INTERVAL:DEPTH' (e.g. 3 or 3:1): "
+                               "refresh the deep UNet levels every INTERVAL denoise steps, recompute only "
+                               "the shallow levels in between (~1.5x sampling throughput; see "
+                               "BENCHMARKS.md for the measured quality trade). Beyond-reference flag; "
+                               "omit for exact sampling.")),
 ]
+
+
+def _parse_deep_cache(value):
+    if value is None:
+        return None
+    interval, _, depth = str(value).partition(":")
+    return (int(interval), int(depth) if depth else 1)
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -88,6 +101,10 @@ def main() -> None:
 
     handler_kwargs = {name.lstrip("-"): getattr(args, name.lstrip("-"))
                       for name, _ in _FLAG_SPEC if name != "--mode"}
+    # engine-level runtime option, not part of the reference handler surface
+    from fmdm_tpu.sample.diffusion_utils import set_deep_cache
+
+    set_deep_cache(_parse_deep_cache(handler_kwargs.pop("deep_cache", None)))
     handler = handler_cls(**handler_kwargs)
 
     # every mode maps 1:1 onto a handler method of the same name

@@ -138,6 +138,18 @@ def encode_diffusion_batch(scheduler, targets: jax.Array, timesteps: jax.Array,
 
 _ENGINE_CACHE: Dict[Tuple, SamplingEngine] = {}
 
+# Runtime DeepCache setting for the eval/sampling surface (run_model
+# --deep_cache): (interval, depth) or None. Module-level like
+# attention.set_sdpa_backend — the eval call chain is the reference's
+# fixed signature surface, so the knob rides beside it rather than
+# through it.
+_DEEP_CACHE: Optional[Tuple[int, int]] = None
+
+
+def set_deep_cache(value: Optional[Tuple[int, int]]) -> None:
+    global _DEEP_CACHE
+    _DEEP_CACHE = tuple(value) if value else None
+
 
 def decode_diffusion_batch(
     model,
@@ -192,13 +204,19 @@ def decode_diffusion_batch(
         training_cfg.get("conditioning") or model_cfg.get("conditioning")
     )
     latent_norm = training_cfg.get("latent_norm")
+    deep_cache = _DEEP_CACHE
+    if deep_cache is not None and not hasattr(model, "up_blocks"):
+        logging.warning("deep_cache requested but %s has no deep/shallow split; ignoring.",
+                        model.__class__.__name__)
+        deep_cache = None
     cache_key = (
         id(model), scheduler.__class__.__name__, tuple(np.asarray(timesteps).tolist()),
-        conditioning_mode, str(latent_norm), tuple(batch_shape),
+        conditioning_mode, str(latent_norm), tuple(batch_shape), deep_cache,
     )
     engine = _ENGINE_CACHE.get(cache_key)
     if engine is None:
-        engine = SamplingEngine(model, scheduler, timesteps, conditioning_mode, latent_norm)
+        engine = SamplingEngine(model, scheduler, timesteps, conditioning_mode, latent_norm,
+                                deep_cache=deep_cache)
         _ENGINE_CACHE[cache_key] = engine
     cond = jnp.asarray(conditioning_batch) if conditioning_batch is not None else None
     return engine(params, tuple(batch_shape), rng_sample,

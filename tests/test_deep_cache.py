@@ -86,3 +86,31 @@ def test_engine_cached_sampling_is_close(model_and_params):
     out_cached = np.asarray(cached(params, (2, 1, 16, 16), rng))
     assert np.all(np.isfinite(out_cached))
     assert np.abs(out_cached - out_base).mean() < 0.5 * np.abs(out_base).std() + 0.1
+
+
+def test_run_model_deep_cache_flag_parsing():
+    from fmdm_tpu.run_model import _parse_deep_cache
+
+    assert _parse_deep_cache(None) is None
+    assert _parse_deep_cache("3") == (3, 1)
+    assert _parse_deep_cache("5:2") == (5, 2)
+
+
+def test_decode_path_honors_deep_cache(model_and_params, monkeypatch):
+    """decode_diffusion_batch builds a cached engine when set_deep_cache is
+    active, and ignores it (with a warning) for models without the split."""
+    from fmdm_tpu.sample import diffusion_utils as du
+
+    model, params = model_and_params
+    training_cfg = {"num_train_timesteps": 50, "num_inference_steps": 6,
+                    "scheduler": "ddim", "conditioning": None}
+    try:
+        du.set_deep_cache((3, 1))
+        out = du.decode_diffusion_batch(
+            model, params, training_cfg, {}, (2, 1, 16, 16), None,
+            rng=jax.random.PRNGKey(0))
+        assert np.all(np.isfinite(np.asarray(out)))
+        key = next(k for k in du._ENGINE_CACHE if k[0] == id(model) and k[-1] == (3, 1))
+        assert du._ENGINE_CACHE[key].deep_cache == (3, 1)
+    finally:
+        du.set_deep_cache(None)
