@@ -22,16 +22,24 @@ import numpy as np
 
 class _MapSource:
     """grain ``RandomAccessDataSource`` view of any ``__len__/__getitem__``
-    dataset (our BaseDataset family)."""
+    dataset (our BaseDataset family).
 
-    def __init__(self, dataset):
+    ``pad_to`` rounds the advertised length up, wrapping the extra indices
+    onto leading records (DistributedSampler-style padding): with it set to a
+    multiple of ``process_count`` every shard holds the same record count, so
+    every process yields the same number of batches — unequal counts would
+    deadlock multi-host collectives on the final batch of an epoch."""
+
+    def __init__(self, dataset, pad_to: Optional[int] = None):
         self._dataset = dataset
+        self._len = len(dataset)
+        self._padded_len = max(self._len, int(pad_to or 0))
 
     def __len__(self) -> int:
-        return len(self._dataset)
+        return self._padded_len
 
     def __getitem__(self, index: int):
-        return self._dataset[int(index)]
+        return self._dataset[int(index) % self._len]
 
 
 def _stack(samples, key) -> Optional[np.ndarray]:
@@ -66,7 +74,9 @@ def grain_epoch_batches(
     """
     import grain.python as gp
 
-    source = _MapSource(dataset)
+    n = len(dataset)
+    procs = max(1, int(process_count))
+    source = _MapSource(dataset, pad_to=-(-n // procs) * procs)
     sampler = gp.IndexSampler(
         num_records=len(source),
         shard_options=gp.ShardOptions(

@@ -78,6 +78,25 @@ def pad_batch_to_multiple(arrays, multiple: int):
     return _pad(arrays), real
 
 
+def to_host(tree):
+    """Materialize a (possibly globally sharded) pytree as host numpy arrays.
+
+    Checkpoint payloads call ``np.asarray`` on every leaf; with multi-process
+    FSDP the parameters are globally sharded (non-fully-addressable) and
+    ``np.asarray`` raises. Gather those through
+    ``multihost_utils.process_allgather`` (every host receives the full
+    value) before converting; fully-addressable leaves convert directly."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if any(
+        isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
+        for leaf in leaves
+    ):
+        from jax.experimental import multihost_utils
+
+        tree = multihost_utils.process_allgather(tree)
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
 def maybe_initialize_distributed() -> None:
     """Multi-host init (the torch.distributed/torchrun analogue,
     SURVEY.md §5.8): call jax.distributed.initialize() when a coordinator is

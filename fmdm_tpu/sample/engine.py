@@ -110,7 +110,10 @@ class SamplingEngine:
     ):
         self.model = model
         self.scheduler = scheduler
-        self.timesteps = np.asarray(timesteps)
+        # let positional-table schedulers (DPMSolverSDE) veto slicings they
+        # cannot start from (e.g. mid-ancestral-pair parity after
+        # start_step/last_n filtering)
+        self.timesteps = np.asarray(scheduler.align_sliced_timesteps(np.asarray(timesteps)))
         self.conditioning_mode = conditioning_mode
         self.latent_norm = latent_norm
         # Optional DeepCache-style inference acceleration (interval, depth):
@@ -242,9 +245,11 @@ class SamplingEngine:
 
         rng_init, rng_steps = jax.random.split(rng)
         del rng  # consumed
+        # pure-noise start enters at the first *selected* call's sigma
+        # (== init_noise_sigma for unsliced schedules)
         current = init_sample if init_sample is not None else jax.random.normal(
             rng_init, sample_shape, dtype=jnp.float32
-        ) * getattr(self.scheduler, "init_noise_sigma", 1.0)
+        ) * self.scheduler.init_noise_scale(self.timesteps)
         cond = align_conditioning(conditioning_batch, current.shape[0])
         if self.conditioning_mode == "attention":
             cond = normalize_latent_conditioning(cond, self.latent_norm)

@@ -114,6 +114,21 @@ class Scheduler:
     # sigma_max for sigma-space schedulers (set during set_timesteps)
     init_noise_sigma: float = 1.0
 
+    def align_sliced_timesteps(self, timesteps: np.ndarray) -> np.ndarray:
+        """Hook for schedulers whose step tables have positional structure:
+        given a (possibly start_step/last_n-sliced) suffix of the full
+        schedule, return the nearest suffix the scheduler can start from.
+        Identity for memoryless/VP schedulers; DPMSolverSDE trims a leading
+        midpoint call so the scan never starts mid-ancestral-pair."""
+        return timesteps
+
+    def init_noise_scale(self, timesteps: np.ndarray) -> float:
+        """Magnitude for pure-noise initialization given the *selected*
+        timesteps. Defaults to the full-schedule ``init_noise_sigma``;
+        sigma-space schedulers override to enter a sliced schedule at the
+        first kept call's sigma rather than sigma_max."""
+        return float(getattr(self, "init_noise_sigma", 1.0))
+
     # ---- helpers ---------------------------------------------------------
     @property
     def needs_noise(self) -> bool:

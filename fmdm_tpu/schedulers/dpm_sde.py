@@ -168,6 +168,23 @@ class DPMSolverSDEScheduler(Scheduler):
         # descending schedule): scan index i maps to table index i + offset
         return self._full_len - int(np.asarray(timesteps).shape[0])
 
+    def align_sliced_timesteps(self, timesteps: np.ndarray) -> np.ndarray:
+        """The interleaved table alternates first-order (even table index,
+        which stores the ancestral anchor) and second-order (odd, which READS
+        it) calls. A sliced suffix with odd offset would start on a
+        second-order call whose anchor was never stored — silently blending
+        against zeros. Trim the leading midpoint entry so the scan always
+        starts on a first-order call (the anchor-storing parity)."""
+        timesteps = np.asarray(timesteps)
+        if self._offset(timesteps) % 2 == 1 and timesteps.shape[0] > 1:
+            timesteps = timesteps[1:]
+        return timesteps
+
+    def init_noise_scale(self, timesteps: np.ndarray) -> float:
+        """Pure-noise entry into a sliced schedule happens at the first kept
+        call's sigma, not the full-schedule sigma_max."""
+        return float(np.asarray(self._sigma_call)[self._offset(timesteps)])
+
     # ---- engine API -----------------------------------------------------
     def init_state(self, timesteps: np.ndarray, sample: Optional[jax.Array] = None) -> Dict[str, Any]:
         if sample is None:

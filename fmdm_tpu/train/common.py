@@ -120,8 +120,13 @@ def epoch_batches(
     index list — the TPU analogue of DistributedSampler
     (diffusion_lib.py:82-90).
 
-    ``num_workers`` threads fetch the batch's samples concurrently (default:
-    min(8, cpus)); cold-cache preprocessing (DICOM decode, HU windowing,
+    ``num_workers`` threads fetch the batch's samples concurrently; threaded
+    fetching requires ``dataset.__getitem__`` to be thread-safe (no shared
+    mutable state, no global-RNG transforms). Our BaseDataset family is
+    audited thread-safe and declares ``thread_safe_getitem = True``; with
+    ``num_workers=None`` (auto) external dataset classes that don't make that
+    declaration get the serial path, and an explicit ``training.num_workers``
+    always wins. Cold-cache preprocessing (DICOM decode, HU windowing,
     resize) is numpy-bound and releases the GIL, so thread fan-out here plays
     the role of the reference's DataLoader worker *processes*. 0 = serial.
     Batch contents and ordering are identical at any worker count."""
@@ -138,7 +143,14 @@ def epoch_batches(
         pad = process_count - n % process_count
         order = np.concatenate([order, order[:pad]])
     order = order[process_index::process_count]
-    workers = _default_fetch_workers() if num_workers is None else int(num_workers)
+    if num_workers is None:
+        workers = (
+            _default_fetch_workers()
+            if getattr(dataset, "thread_safe_getitem", False)
+            else 0
+        )
+    else:
+        workers = int(num_workers)
     pool = None
     if workers > 1:
         from concurrent.futures import ThreadPoolExecutor

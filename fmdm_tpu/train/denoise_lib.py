@@ -268,9 +268,11 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             )
 
         current_metric = avg_loss
+        # mesh_lib.to_host gathers globally sharded (multi-process FSDP)
+        # leaves before the numpy conversion
         state = {
-            "model": jax.tree_util.tree_map(np.asarray, params),
-            "optimizer": jax.tree_util.tree_map(np.asarray, opt_state),
+            "model": mesh_lib.to_host(params),
+            "optimizer": mesh_lib.to_host(opt_state),
             "lr_scheduler": {"last_epoch": epoch},
             "scaler": None,
             "epoch": epoch,

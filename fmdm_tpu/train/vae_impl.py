@@ -484,16 +484,16 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         current_metric = val_avg["loss"] if val_avg is not None else averaged["loss"]
         full_params = _merge_ema(gen_params, ema_state)
         state = {
-            "model": jax.tree_util.tree_map(np.asarray, full_params),
-            "optimizer": jax.tree_util.tree_map(np.asarray, opt_state),
-            "disc_optimizer": jax.tree_util.tree_map(np.asarray, disc_opt_state) if disc_opt_state is not None else None,
+            "model": mesh_lib.to_host(full_params),
+            "optimizer": mesh_lib.to_host(opt_state),
+            "disc_optimizer": mesh_lib.to_host(disc_opt_state) if disc_opt_state is not None else None,
             "scheduler": {"last_epoch": epoch},
             "scaler": None,
             "epoch": epoch,
             "best_metric": best_metric,
         }
         if disc_params is not None:
-            state["extra_state"] = {"disc_params": jax.tree_util.tree_map(np.asarray, disc_params)}
+            state["extra_state"] = {"disc_params": mesh_lib.to_host(disc_params)}
 
         # rank-0 writes only (params are replicated; denoise_lib gates the
         # same way) — every host saving would race on the shared filesystem
