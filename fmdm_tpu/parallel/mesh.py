@@ -18,20 +18,51 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
-    devices = jax.devices()
+    """PROCESS-LOCAL mesh (identical to the global mesh in single-process
+    runs). Host-local work — sampling engines, rank-0 visual probes — must
+    never jit over remote devices, or the other processes would have to
+    participate in the program and rank-gated code paths would deadlock."""
+    devices = jax.local_devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 
 
 def create_mesh_for_batch(batch_size: int, axis_name: str = "data") -> Mesh:
-    """Data mesh over the largest device count that divides the batch size
-    (batch-dim sharding requires divisibility; small smoke configs may use
-    fewer devices than are available)."""
-    n = len(jax.devices())
+    """Process-local data mesh over the largest device count that divides the
+    batch size (batch-dim sharding requires divisibility; small smoke configs
+    may use fewer devices than are available)."""
+    n = len(jax.local_devices())
     while n > 1 and batch_size % n != 0:
         n -= 1
     return create_mesh(n, axis_name)
+
+
+def create_data_mesh(batch_size: int, axis_name: str = "data") -> Mesh:
+    """GLOBAL data mesh for trainers (the torchrun/DistributedSampler
+    analogue, SURVEY.md §5.8): every process contributes ``batch_size``
+    process-local rows per step, assembled into a global batch of
+    ``process_count * batch_size`` via
+    ``jax.make_array_from_process_local_data`` (see shard_batch). Uses the
+    largest per-process device count that divides the per-process batch, the
+    same count on every (homogeneous) host."""
+    if jax.process_count() == 1:
+        return create_mesh_for_batch(batch_size, axis_name)
+    n_local = len(jax.local_devices())
+    while n_local > 1 and batch_size % n_local != 0:
+        n_local -= 1
+    devices = []
+    for p in range(jax.process_count()):
+        devices.extend([d for d in jax.devices() if d.process_index == p][:n_local])
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def spans_processes(mesh: Optional[Mesh]) -> bool:
+    """Does this mesh include devices of other processes (multi-host)?"""
+    if mesh is None:
+        return False
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
@@ -44,17 +75,38 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Optional[Mesh], batch):
-    """Device-put a host batch with batch-dim sharding (HBM-resident batches)."""
+    """Device-put a host batch with batch-dim sharding (HBM-resident batches).
+
+    On a multi-host mesh the input is the PROCESS-LOCAL slice: the global
+    array is assembled from every process's rows
+    (jax.make_array_from_process_local_data), so a global batch is the
+    concatenation of the per-process batches along the data axis — the true
+    DistributedSampler semantic the reference approximates
+    (diffusion_lib.py:82-90)."""
     if mesh is None:
         return jax.tree_util.tree_map(jax.device_put, batch)
     sharding = batch_sharding(mesh)
+    if spans_processes(mesh):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(mesh: Optional[Mesh], tree):
+    """Fully replicate a pytree over the mesh. On a multi-host mesh every
+    process must hold the SAME host values (same-seed init or same checkpoint
+    file); each contributes its addressable replicas."""
     if mesh is None:
         return tree
     sharding = replicated_sharding(mesh)
+    if spans_processes(mesh):
+        def _rep(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+        return jax.tree_util.tree_map(_rep, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
@@ -86,6 +138,14 @@ def to_host(tree):
     ``np.asarray`` raises. Gather those through
     ``multihost_utils.process_allgather`` (every host receives the full
     value) before converting; fully-addressable leaves convert directly."""
+    def _replicated_local(x):
+        # fully replicated over a multi-host mesh: the local replica IS the
+        # full value — no collective needed
+        if isinstance(x, jax.Array) and not x.is_fully_addressable and x.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        return x
+
+    tree = jax.tree_util.tree_map(_replicated_local, tree)
     leaves = jax.tree_util.tree_leaves(tree)
     if any(
         isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
@@ -114,6 +174,21 @@ def maybe_initialize_distributed() -> None:
             num_processes=int(nproc),
             process_id=int(os.environ.get("JAX_PROCESS_ID", 0)),
         )
+
+
+def broadcast_string(value: str, max_len: int = 1024) -> str:
+    """Agree on a host-side string across processes (process 0 wins) — used
+    for run-dir allocation, where every process must write/log under the
+    directory rank 0 allocated (_runN suffixing races otherwise)."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+
+    data = np.zeros((max_len,), np.uint8)
+    raw = value.encode("utf-8")[:max_len]
+    data[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(data))
+    return bytes(out.tobytes()).rstrip(b"\x00").decode("utf-8")
 
 
 def is_main_process() -> bool:

@@ -80,14 +80,26 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     ckpt_utils.set_checkpoint_backend(str(training_cfg.get("checkpoint_backend", "torch")))
 
     base_output_dir = Path(training_cfg.get("output_dir", f"checkpoints/{variant}"))
-    output_dir = config_utils.allocate_run_dir(base_output_dir) if resume is None else base_output_dir
+    # rank 0 allocates the _runN dir; everyone else adopts it (the _runN
+    # probe would race across hosts otherwise)
+    if mesh_lib.is_main_process():
+        output_dir = config_utils.allocate_run_dir(base_output_dir) if resume is None else base_output_dir
+    else:
+        output_dir = base_output_dir
+    output_dir = Path(mesh_lib.broadcast_string(str(output_dir)))
     training_cfg["output_dir"] = str(output_dir)
-    output_dir.mkdir(parents=True, exist_ok=True)
-    cfg_path = output_dir / "train_config.json"
-    if not cfg_path.exists():
-        config_utils.save_json_config(cfg_path, cfg)
+    if mesh_lib.is_main_process():
+        output_dir.mkdir(parents=True, exist_ok=True)
+        cfg_path = output_dir / "train_config.json"
+        if not cfg_path.exists():
+            config_utils.save_json_config(cfg_path, cfg)
 
     tp = int(training_cfg.get("tensor_parallel", 1) or 1)
+    if jax.process_count() > 1 and (tp > 1 or bool(training_cfg.get("fsdp", False))):
+        raise ValueError(
+            "tensor_parallel/fsdp are single-host strategies here; multi-host "
+            "runs use the global data mesh (training.tensor_parallel=1, fsdp=false)."
+        )
     if tp > 1:
         # dp x tp mesh: GSPMD output-channel sharding (parallel/tp.py); the
         # data axis is the largest batch divisor the remaining devices allow.
@@ -112,7 +124,10 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         _place_params = lambda p: fsdp_lib.shard_params_fsdp(p, mesh)
         _place_opt = lambda s, p: fsdp_lib.shard_opt_state_fsdp(s, p, mesh)
     else:
-        mesh = mesh_lib.create_mesh_for_batch(batch_size)
+        # global data mesh: in multi-host runs every process feeds its own
+        # batch_size rows and the jitted step sees the concatenated global
+        # batch (process_count x batch_size) — true DDP semantics.
+        mesh = mesh_lib.create_data_mesh(batch_size)
         _place_params = lambda p: mesh_lib.replicate(mesh, p)
         _place_opt = lambda s, p: mesh_lib.replicate(mesh, s)
     model, params = build_diffusion_model(cfg, ckpt_path=None, rng=jax.random.PRNGKey(seed))
@@ -122,7 +137,10 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     params = _place_params(params)
 
     scheduler, num_inference_steps = build_scheduler(scheduler_cfg, training_cfg)
-    num_train_steps = epochs * math.ceil(len(dataset) / batch_size)
+    # optimizer steps per epoch = per-process batches (every process steps in
+    # lockstep on the shared global batch)
+    num_train_steps = epochs * math.ceil(
+        math.ceil(len(dataset) / jax.process_count()) / batch_size)
     optimizer, _ = make_adamw(lr, weight_decay, lr_warmup, num_train_steps)
     opt_state = _place_opt(optimizer.init(params), params)
 
@@ -142,13 +160,14 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
 
         def _aval(value):
             shape = np.asarray(value).shape
-            return jax.ShapeDtypeStruct((batch_size, *shape), jnp.float32, sharding=batch_sh)
+            return jax.ShapeDtypeStruct((global_bs, *shape), jnp.float32, sharding=batch_sh)
 
+        global_bs = batch_size * (jax.process_count() if mesh_lib.spans_processes(mesh) else 1)
         cond_value = probe_sample.get("image") if conditioning_mode in {"concatenate", "attention"} else None
         probe = {
             "target": _aval(probe_sample["target"]),
             "image": _aval(cond_value) if cond_value is not None else None,
-            "valid": jax.ShapeDtypeStruct((batch_size,), jnp.float32, sharding=batch_sh),
+            "valid": jax.ShapeDtypeStruct((global_bs,), jnp.float32, sharding=batch_sh),
         }
         step.lower(params, opt_state, probe, jax.random.PRNGKey(0)).compile()
 
@@ -241,10 +260,12 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             if not (conditioning_mode in {"concatenate", "attention"}):
                 batch = dict(batch)
                 batch["image"] = None
+            # host numpy in: multi-host meshes assemble the global batch from
+            # every process's rows (shard_batch)
             placed = {
-                "target": mesh_lib.shard_batch(mesh, jnp.asarray(batch["target"])),
-                "image": mesh_lib.shard_batch(mesh, jnp.asarray(batch["image"])) if batch.get("image") is not None else None,
-                "valid": mesh_lib.shard_batch(mesh, jnp.asarray(batch["valid"])),
+                "target": mesh_lib.shard_batch(mesh, batch["target"]),
+                "image": mesh_lib.shard_batch(mesh, batch["image"]) if batch.get("image") is not None else None,
+                "valid": mesh_lib.shard_batch(mesh, batch["valid"]),
             }
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss_sum, count = train_step(params, opt_state, placed, step_rng)
@@ -299,8 +320,10 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         )
         if save_samples:
             rng, vis_rng = jax.random.split(rng)
+            # host copy of the params (state['model']): the visual probe runs
+            # rank-0-only, so it must not touch the global training mesh
             outputs = decode_diffusion_batch(
-                model, params, training_cfg, cfg["model"],
+                model, state["model"], training_cfg, cfg["model"],
                 tuple(visual_targets.shape),
                 visual_cond if conditioning_mode in {"concatenate", "attention"} else None,
                 rng=vis_rng,

@@ -160,6 +160,14 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     if mesh_lib.is_main_process() and not metrics_path.exists():
         metrics_path.write_text("epoch," + ",".join(metrics_keys) + "\n")
 
+    if jax.process_count() > 1:
+        # reference parity: the VAE trainer is single-process by design (no
+        # DistributedSampler in vae_lib.py, SURVEY.md §2.3); multi-host
+        # training is provided by the diffusion/flow trainers.
+        raise ValueError(
+            "VAE training is single-host; launch without a multi-process "
+            "coordinator (diffusion/flow_matching trainers support multi-host)."
+        )
     mesh = mesh_lib.create_mesh_for_batch(batch_size)
     model, params = build_vae_model(cfg, ckpt_path=None, rng=jax.random.PRNGKey(seed))
     model_cfg = cfg.get("model", {})

@@ -50,8 +50,13 @@ def dispatch_train(cfg_path: Path, resume) -> None:
 
 def main() -> None:
     from fmdm_tpu.utils.cache import enable_compile_cache
+    from fmdm_tpu.parallel.mesh import maybe_initialize_distributed
 
     enable_compile_cache()
+    # multi-host rendezvous (torchrun analogue): no-op unless
+    # JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES are set or a pod runtime
+    # already initialized the distributed client
+    maybe_initialize_distributed()
     parser = argparse.ArgumentParser(description="Train models from JSON configs.")
     parser.add_argument("--config", type=Path, required=True, help="Path to JSON config.")
     parser.add_argument("--resume", type=str, default=None, help="Checkpoint path to resume from (optional).")
