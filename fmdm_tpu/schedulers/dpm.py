@@ -1,12 +1,13 @@
 """
-DPM-Solver multistep scheduler (orders 1/2, algorithm 'dpmsolver' and
+DPM-Solver multistep scheduler (orders 1/2/3, algorithm 'dpmsolver' and
 'dpmsolver++'), matching diffusers.DPMSolverMultistepScheduler semantics for
 the reference's CLI aliases dpmsolver1/dpmsolver2/dpmsolver++
-(/root/reference/src/pipelines/utils.py:74-84): linspace timestep spacing,
-midpoint solver, lower_order_final, final sigma zero, epsilon prediction.
+(/root/reference/src/pipelines/utils.py:74-84) and the wider diffusers config
+surface: linspace timestep spacing, midpoint solver, lower_order_final, final
+sigma zero, epsilon prediction.
 
-The multistep history is carried as fixed-size scan state (one previous
-converted model output + validity counter), so 50-step DPM++ compiles to a
+The multistep history is carried as fixed-size scan state (up to two previous
+converted model outputs + validity counter), so 50-step DPM++ compiles to a
 single lax.scan — the BASELINE.json north-star loop.
 """
 
@@ -53,10 +54,13 @@ class DPMSolverMultistepScheduler(Scheduler):
         clip_sample_range: float = 1.0,
         **_unused,
     ) -> "DPMSolverMultistepScheduler":
-        if solver_order not in (1, 2):
-            raise NotImplementedError("solver_order must be 1 or 2 (reference aliases use <=2)")
+        if solver_order not in (1, 2, 3):
+            raise ValueError(
+                f"solver_order must be 1, 2 or 3 (diffusers surface); got {solver_order}")
         if algorithm_type not in ("dpmsolver", "dpmsolver++", "sde-dpmsolver++"):
             raise ValueError(f"Unknown algorithm_type '{algorithm_type}'")
+        if solver_order == 3 and algorithm_type == "sde-dpmsolver++":
+            raise ValueError("sde-dpmsolver++ supports solver_order <= 2 (as in diffusers)")
         betas = make_beta_schedule(beta_schedule, num_train_timesteps, beta_start, beta_end)
         alphas_cumprod = np.cumprod(1.0 - betas)
         return cls(
@@ -88,10 +92,13 @@ class DPMSolverMultistepScheduler(Scheduler):
     def init_state(self, timesteps: np.ndarray, sample: Optional[jax.Array] = None) -> Dict[str, Any]:
         if sample is None:
             raise ValueError("DPMSolverMultistepScheduler.init_state needs a sample template")
-        return {
+        state = {
             "prev_m": jnp.zeros(sample.shape, jnp.float32),
             "order_count": jnp.zeros((), jnp.int32),
         }
+        if self.solver_order >= 3:
+            state["prev_m2"] = jnp.zeros(sample.shape, jnp.float32)
+        return state
 
     def _sigmas_for(self, timesteps: jax.Array) -> jax.Array:
         """Karras-style sigma per selected timestep + trailing final sigma.
@@ -198,6 +205,7 @@ class DPMSolverMultistepScheduler(Scheduler):
             second = first - 0.5 * sigma_t_ * phi * D1
 
         use_first = order_count < 1
+        lower_order_second = jnp.bool_(False)
         if self.solver_order == 1:
             use_first = jnp.bool_(True)
         else:
@@ -211,10 +219,52 @@ class DPMSolverMultistepScheduler(Scheduler):
             final_sigma_zero = self.algorithm_type != "dpmsolver"
             if final_sigma_zero or (self.lower_order_final and n < 15):
                 use_first = jnp.logical_or(use_first, index == n - 1)
-        prev_sample = jnp.where(use_first, first, second)
+            if self.lower_order_final and n < 15:
+                lower_order_second = index == n - 2
+
+        if self.solver_order < 3:
+            prev_sample = jnp.where(use_first, first, second)
+        else:
+            # third order (diffusers multistep_dpm_solver_third_order_update):
+            # one extra history slot; selection mirrors diffusers'
+            # order==2-or-warmup-or-tail branch exactly.
+            prev_m2 = state["prev_m2"]
+            sigma_s2 = sigmas[jnp.maximum(index - 2, 0)]
+            alpha_s2, sigma_s2_ = self._alpha_sigma(sigma_s2)
+            lam_s2 = jnp.log(alpha_s2) - jnp.log(safe(sigma_s2_))
+            h_1 = lam_s1 - lam_s2
+            r1 = h_1 / jnp.where(h == 0, 1.0, h)
+            safe_r = lambda r: jnp.where(r == 0, 1.0, r)
+            D1_0 = (m0 - prev_m) / safe_r(r0)
+            D1_1 = (prev_m - prev_m2) / safe_r(r1)
+            rsum = safe_r(r0 + r1)
+            D1c = D1_0 + (r0 / rsum) * (D1_0 - D1_1)
+            D2 = (D1_0 - D1_1) / rsum
+            safe_h = jnp.where(h == 0, 1.0, h)
+            if self.algorithm_type == "dpmsolver++":
+                phi = jnp.expm1(-h)
+                third = (
+                    (sigma_t_ / safe(sigma_s0_)) * x32
+                    - alpha_t * phi * D0
+                    + alpha_t * (phi / safe_h + 1.0) * D1c
+                    - alpha_t * ((phi + h) / safe_h**2 - 0.5) * D2
+                )
+            else:  # dpmsolver (eps space)
+                phi = jnp.expm1(h)
+                third = (
+                    (alpha_t / alpha_s0) * x32
+                    - sigma_t_ * phi * D0
+                    - sigma_t_ * (phi / safe_h - 1.0) * D1c
+                    - sigma_t_ * ((phi - h) / safe_h**2 - 0.5) * D2
+                )
+            use_second = jnp.logical_or(order_count < 2, lower_order_second)
+            prev_sample = jnp.where(
+                use_first, first, jnp.where(use_second, second, third))
 
         new_state = {
             "prev_m": m0,
             "order_count": jnp.minimum(order_count + 1, self.solver_order),
         }
+        if self.solver_order >= 3:
+            new_state["prev_m2"] = state["prev_m"]
         return new_state, prev_sample.astype(sample.dtype)

@@ -244,6 +244,41 @@ class NpDPMSolverMultistep:
                     + 0.5 * alpha_t * (1 - np.exp(-2.0 * h)) * D1
                     + sigma_t * np.sqrt(1 - np.exp(-2.0 * h)) * noise)
 
+    def _third_order(self, sample):
+        """diffusers multistep_dpm_solver_third_order_update (no SDE variant)."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sigma_t = self.sigmas[self.step_index + 1]
+            sigma_s0 = self.sigmas[self.step_index]
+            sigma_s1 = self.sigmas[self.step_index - 1]
+            sigma_s2 = self.sigmas[self.step_index - 2]
+            m0, m1, m2 = self.model_outputs[-1], self.model_outputs[-2], self.model_outputs[-3]
+            alpha_t, sigma_t = _sigma_to_alpha_sigma_t(sigma_t)
+            alpha_s0, sigma_s0 = _sigma_to_alpha_sigma_t(sigma_s0)
+            alpha_s1, sigma_s1 = _sigma_to_alpha_sigma_t(sigma_s1)
+            alpha_s2, sigma_s2 = _sigma_to_alpha_sigma_t(sigma_s2)
+            lam_t = np.log(alpha_t) - np.log(sigma_t)
+            lam_s0 = np.log(alpha_s0) - np.log(sigma_s0)
+            lam_s1 = np.log(alpha_s1) - np.log(sigma_s1)
+            lam_s2 = np.log(alpha_s2) - np.log(sigma_s2)
+            h, h_0, h_1 = lam_t - lam_s0, lam_s0 - lam_s1, lam_s1 - lam_s2
+            r0, r1 = h_0 / h, h_1 / h
+            D0 = m0
+            D1_0 = (1.0 / r0) * (m0 - m1)
+            D1_1 = (1.0 / r1) * (m1 - m2)
+            D1 = D1_0 + (r0 / (r0 + r1)) * (D1_0 - D1_1)
+            D2 = (1.0 / (r0 + r1)) * (D1_0 - D1_1)
+            if self.algorithm_type == "dpmsolver++":
+                return ((sigma_t / sigma_s0) * sample
+                        - alpha_t * np.expm1(-h) * D0
+                        + alpha_t * (np.expm1(-h) / h + 1.0) * D1
+                        - alpha_t * ((np.expm1(-h) + h) / h**2 - 0.5) * D2)
+            if self.algorithm_type == "dpmsolver":
+                return ((alpha_t / alpha_s0) * sample
+                        - sigma_t * np.expm1(h) * D0
+                        - sigma_t * (np.expm1(h) / h - 1.0) * D1
+                        - sigma_t * ((np.expm1(h) - h) / h**2 - 0.5) * D2)
+            raise NotImplementedError("sde-dpmsolver++ has no third-order update")
+
     def step(self, model_output, t, sample, noise=None):
         n = len(self.timesteps)
         final_step = self.step_index == n - 1
@@ -260,7 +295,7 @@ class NpDPMSolverMultistep:
         elif self.solver_order == 2 or self.lower_order_nums < 2 or lower_order_second:
             prev = self._second_order(sample, noise)
         else:
-            raise NotImplementedError("order > 2")
+            prev = self._third_order(sample)
 
         if self.lower_order_nums < self.solver_order:
             self.lower_order_nums += 1
@@ -276,13 +311,15 @@ class NpUniPC:
 
     def __init__(self, num_train_timesteps=1000, beta_start=1e-4, beta_end=0.02,
                  beta_schedule="linear", solver_order=2, predict_x0=True,
-                 prediction_type="epsilon", lower_order_final=True):
+                 prediction_type="epsilon", lower_order_final=True,
+                 solver_type="bh2"):
         self.N = num_train_timesteps
         self.acp = np.cumprod(1.0 - _betas(beta_schedule, num_train_timesteps, beta_start, beta_end))
         self.solver_order = solver_order
         self.predict_x0 = predict_x0
         self.prediction_type = prediction_type
         self.lower_order_final = lower_order_final
+        self.solver_type = solver_type
 
     def set_timesteps(self, n):
         self.timesteps = _linspace_timesteps(self.N, n)
@@ -314,9 +351,11 @@ class NpUniPC:
         return x0 if self.predict_x0 else eps
 
     def _lam(self, sigma):
+        # clamped like the scan-form implementation: keeps bh1 finite at the
+        # final sigma=0 step (bh2's expm1(-inf) = -1 hides the issue; bh1's
+        # B_h = hh would otherwise be -inf and poison the 0-residual product)
         alpha_t, sigma_t = _sigma_to_alpha_sigma_t(sigma)
-        with np.errstate(divide="ignore"):
-            return np.log(alpha_t) - np.log(sigma_t)
+        return np.log(alpha_t) - np.log(np.maximum(sigma_t, 1e-10))
 
     def _uni_p(self, sample, order):
         """Predictor: advance step_index -> step_index+1 using m0 and history."""
@@ -341,7 +380,7 @@ class NpUniPC:
         hh = -h if self.predict_x0 else h
         h_phi_1 = np.expm1(hh)
         h_phi_k = h_phi_1 / hh - 1
-        B_h = np.expm1(hh)  # bh2
+        B_h = hh if self.solver_type == "bh1" else np.expm1(hh)
         R, b = [], []
         factorial_i = 1
         for i in range(1, order + 1):
@@ -390,7 +429,7 @@ class NpUniPC:
         hh = -h if self.predict_x0 else h
         h_phi_1 = np.expm1(hh)
         h_phi_k = h_phi_1 / hh - 1
-        B_h = np.expm1(hh)
+        B_h = hh if self.solver_type == "bh1" else np.expm1(hh)
         R, b = [], []
         factorial_i = 1
         for i in range(1, order + 1):
