@@ -100,6 +100,9 @@ def main() -> None:
         # TF32 scaled by 197/312 peak ratio). An estimate, not a measurement.
         "vs_baseline": round(steps_per_sec / 50.0, 2),
         "vs_baseline_basis": "estimated (BENCHMARKS.md CUDA-baseline denominator)",
+        # denominator sensitivity at 40%/15% assumed CUDA eager utilization
+        # (BENCHMARKS.md "Sensitivity of the >=5x claim")
+        "vs_baseline_range": [round(steps_per_sec / 79.9, 2), round(steps_per_sec / 30.0, 2)],
         "samples_per_sec": round(samples_per_sec, 3),
         "batch_size": batch_size,
         "num_inference_steps": num_steps,

@@ -270,6 +270,16 @@ def make_denoise_train_step(
                 a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
             return a.reshape((n_chunks, chunk) + a.shape[1:])
 
+        if n_chunks == 1:
+            # no accumulation: skip the lax.scan wrapper entirely (the while
+            # loop would hide fusion opportunities and add loop overhead)
+            (loss, (loss_sum, count)), grads = grad_fn(params, x0, cond, valid, rng)
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss_sum, count
+
         x0c = reshape_chunks(x0)
         condc = reshape_chunks(cond)
         validc = reshape_chunks(valid)

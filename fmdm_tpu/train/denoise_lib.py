@@ -256,6 +256,18 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         except ImportError:
             pass
 
+        # Deferred loss readback: blocking on float(loss_sum) every step
+        # serializes dispatch with execution and costs ~25% wall time per
+        # step on this setup (BENCHMARKS.md training profile). Keep one step
+        # in flight and read step i-1's metrics while step i executes.
+        pending = []
+
+        def _drain_one():
+            nonlocal epoch_loss, num_samples
+            ls, ct = pending.pop(0)
+            epoch_loss += float(ls)
+            num_samples += int(ct)
+
         for batch in batch_iter:
             if not (conditioning_mode in {"concatenate", "attention"}):
                 batch = dict(batch)
@@ -269,13 +281,18 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             }
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss_sum, count = train_step(params, opt_state, placed, step_rng)
-            epoch_loss += float(loss_sum)
-            num_samples += int(count)
+            pending.append((loss_sum, count))
+            if len(pending) > 1:
+                _drain_one()
             n_steps += 1
             if hasattr(batch_iter, "set_postfix"):
+                # lagged by the one in-flight step — the running average the
+                # reference shows is itself cumulative, so this is invisible
                 batch_iter.set_postfix(loss=f"{epoch_loss / max(num_samples, 1):.4f}")
             if max_steps_per_epoch is not None and n_steps >= max_steps_per_epoch:
                 break
+        while pending:
+            _drain_one()
 
         if profile_dir and epoch == start_epoch:
             jax.profiler.stop_trace()

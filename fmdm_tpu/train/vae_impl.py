@@ -421,6 +421,7 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         totals = {k: 0.0 for k in ("loss", "recon", "kl", "perceptual", "g_gan", "d_gan", "vq")}
         num_samples = 0
         n_steps = 0
+        pending_metrics = []
         if str(training_cfg.get("data_loader", "threads")).lower() == "grain":
             from fmdm_tpu.data.grain_pipeline import grain_epoch_batches
 
@@ -435,6 +436,15 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
                 process_index=jax.process_index(), process_count=jax.process_count(),
                 num_workers=_cfg_workers(training_cfg),
             )
+        try:
+            from tqdm import tqdm
+
+            _batches = tqdm(_batches, total=math.ceil(len(dataset) / batch_size),
+                            desc=f"VAE {epoch}/{epochs}", leave=False, dynamic_ncols=True,
+                            disable=(True if not mesh_lib.is_main_process() else None))
+        except ImportError:
+            pass
+        t_batch = time.perf_counter()
         for batch in _batches:
             disc_active = _disc_is_active(discriminator is not None, gan_weight, gan_start,
                                           gan_start_steps, epoch, global_step)
@@ -448,13 +458,29 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
                 gen_params, ema_state, opt_state, disc_params, disc_opt_state,
                 raw, valid, step_rng, jnp.float32(kl_scale), disc_active=disc_active,
             )
-            for k in totals:
-                totals[k] += float(m[k])
-            num_samples += int(count)
+            # deferred readback: keep one step in flight (see denoise_lib)
+            pending_metrics.append((m, count))
+            if len(pending_metrics) > 1:
+                pm, pc = pending_metrics.pop(0)
+                for k in totals:
+                    totals[k] += float(pm[k])
+                num_samples += int(pc)
             global_step += 1
             n_steps += 1
+            if hasattr(_batches, "set_postfix"):
+                # running loss + per-batch wall time, the reference's tqdm
+                # contract (vae_lib.py:319-334); loss lags the in-flight step
+                now = time.perf_counter()
+                _batches.set_postfix(
+                    loss=f"{totals['loss'] / max(num_samples, 1):.4f}",
+                    bt=f"{now - t_batch:.3f}s")
+                t_batch = now
             if max_steps_per_epoch is not None and n_steps >= max_steps_per_epoch:
                 break
+        for pm, pc in pending_metrics:
+            for k in totals:
+                totals[k] += float(pm[k])
+            num_samples += int(pc)
 
         averaged = {k: v / max(1, num_samples) for k, v in totals.items()}
         logging.info(
