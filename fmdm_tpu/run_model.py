@@ -56,19 +56,26 @@ _FLAG_SPEC = [
     ("--save_tensor_cache", dict(action="store_true",
                                  help="Force writing tensor cache files at runtime without editing train_config.json.")),
     ("--deep_cache", dict(type=str, default=None,
-                          help="DeepCache acceleration 'INTERVAL' or 'INTERVAL:DEPTH' (e.g. 3 or 3:1): "
-                               "refresh the deep UNet levels every INTERVAL denoise steps, recompute only "
-                               "the shallow levels in between (~1.5x sampling throughput; see "
-                               "BENCHMARKS.md for the measured quality trade). Beyond-reference flag; "
-                               "omit for exact sampling.")),
+                          help="DeepCache acceleration 'INTERVAL[:DEPTH[:SCHEDULE]]' (e.g. 3, 3:1, "
+                               "3:1:uniform): refresh the deep UNet levels on a schedule, recompute only "
+                               "the shallow levels in between (~1.4x sampling throughput; see "
+                               "BENCHMARKS.md for the measured quality trade). SCHEDULE 'adaptive' "
+                               "(default) keeps the first/last denoise steps always-full, recovering "
+                               "most of uniform caching's PSNR loss; 'uniform' is classic DeepCache. "
+                               "Beyond-reference flag; omit for exact sampling.")),
 ]
 
 
 def _parse_deep_cache(value):
     if value is None:
         return None
-    interval, _, depth = str(value).partition(":")
-    return (int(interval), int(depth) if depth else 1)
+    parts = str(value).split(":")
+    interval = int(parts[0])
+    depth = int(parts[1]) if len(parts) > 1 and parts[1] else 1
+    schedule = parts[2] if len(parts) > 2 and parts[2] else "adaptive"
+    if schedule not in ("adaptive", "uniform"):
+        raise ValueError(f"--deep_cache schedule must be 'adaptive' or 'uniform', got '{schedule}'")
+    return (interval, depth, schedule)
 
 
 def _build_parser() -> argparse.ArgumentParser:

@@ -68,6 +68,34 @@ def prepare_attention_context(condition: Optional[jax.Array]) -> Optional[jax.Ar
     raise ValueError(f"Unsupported conditioning shape for attention: {tuple(condition.shape)}")
 
 
+def deep_cache_refresh_mask(
+    n: int,
+    interval: int,
+    schedule: str = "adaptive",
+    warm_frac: float = 0.15,
+    tail_frac: float = 0.10,
+) -> np.ndarray:
+    """Which scan steps run the FULL UNet under DeepCache.
+
+    'uniform': every `interval`-th step (classic DeepCache).
+    'adaptive': uniform backbone PLUS always-full head/tail windows — deep
+    features change fastest at the start (structure forms) and the end
+    (detail lands) of the reverse process, which is where uniform caching
+    loses most of its PSNR (BENCHMARKS.md DeepCache table). Timestep-aware
+    caching recovers that at a modest refresh-count increase."""
+    mask = np.zeros((n,), bool)
+    mask[::max(1, int(interval))] = True
+    if schedule == "adaptive":
+        warm = max(1, int(round(n * warm_frac)))
+        tail = max(1, int(round(n * tail_frac)))
+        mask[:warm] = True
+        mask[n - tail:] = True
+    elif schedule != "uniform":
+        raise ValueError(f"Unknown deep_cache schedule '{schedule}'")
+    mask[0] = True  # first step must populate the cache
+    return mask
+
+
 def select_timesteps(
     timesteps: np.ndarray,
     start_step: Optional[int] = None,
@@ -116,11 +144,13 @@ class SamplingEngine:
         self.timesteps = np.asarray(scheduler.align_sliced_timesteps(np.asarray(timesteps)))
         self.conditioning_mode = conditioning_mode
         self.latent_norm = latent_norm
-        # Optional DeepCache-style inference acceleration (interval, depth):
-        # every `interval`-th step runs the full UNet and captures the deep
-        # sub-network's output; the steps between recompute only the shallow
-        # high-res levels and splice the cached deep feature back in
-        # (models/unet_diffusers.py __call__ docstring). interval=1 is
+        # Optional DeepCache-style inference acceleration
+        # (interval, depth[, schedule]): refresh steps run the full UNet and
+        # capture the deep sub-network's output; the steps between recompute
+        # only the shallow high-res levels and splice the cached deep feature
+        # back in (models/unet_diffusers.py __call__ docstring). The refresh
+        # pattern comes from deep_cache_refresh_mask (adaptive by default:
+        # always-full head/tail windows + uniform backbone). interval=1 is
         # numerically identical to the uncached engine. Beyond-reference
         # capability — off by default.
         self.deep_cache = tuple(deep_cache) if deep_cache else None
@@ -190,7 +220,10 @@ class SamplingEngine:
                 )
                 return x
 
-            interval, depth = deep_cache
+            interval, depth = deep_cache[0], deep_cache[1]
+            schedule = deep_cache[2] if len(deep_cache) > 2 else "adaptive"
+            refresh_const = jnp.asarray(deep_cache_refresh_mask(
+                int(timesteps_const.shape[0]), interval, schedule))
             # deep-feature buffer shape via abstract eval of the capturing pass
             mi0, tb0, ctx0 = model_input_for(init, jnp.int32(0))
             _, feat_shape = jax.eval_shape(
@@ -218,7 +251,7 @@ class SamplingEngine:
                     return out, cached
 
                 pred, cache = jax.lax.cond(
-                    (i % interval) == 0, full, shallow, (model_input, cache)
+                    refresh_const[i], full, shallow, (model_input, cache)
                 )
                 state, x = scheduler.step(state, pred.astype(jnp.float32), i, x,
                                           timesteps_const, rng=step_rng)

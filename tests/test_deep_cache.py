@@ -92,8 +92,27 @@ def test_run_model_deep_cache_flag_parsing():
     from fmdm_tpu.run_model import _parse_deep_cache
 
     assert _parse_deep_cache(None) is None
-    assert _parse_deep_cache("3") == (3, 1)
-    assert _parse_deep_cache("5:2") == (5, 2)
+    assert _parse_deep_cache("3") == (3, 1, "adaptive")
+    assert _parse_deep_cache("5:2") == (5, 2, "adaptive")
+    assert _parse_deep_cache("3:1:uniform") == (3, 1, "uniform")
+    with pytest.raises(ValueError):
+        _parse_deep_cache("3:1:sometimes")
+
+
+def test_refresh_mask_schedules():
+    from fmdm_tpu.sample.engine import deep_cache_refresh_mask
+
+    uni = deep_cache_refresh_mask(50, 3, "uniform")
+    assert uni.sum() == 17 and uni[0] and not uni[1]
+    ada = deep_cache_refresh_mask(50, 3, "adaptive")
+    # head (15%) and tail (10%) windows are always-full
+    assert ada[:8].all() and ada[45:].all()
+    # uniform backbone in between
+    assert ada[::3].all()
+    assert ada.sum() > uni.sum()
+    # interval 1 == every step full, both schedules
+    assert deep_cache_refresh_mask(10, 1, "uniform").all()
+    assert deep_cache_refresh_mask(10, 1, "adaptive").all()
 
 
 def test_decode_path_honors_deep_cache(model_and_params, monkeypatch):
