@@ -74,10 +74,27 @@ def load_image(path, id=None) -> Dict[str, Any]:
     return {"Image": image, "Metadata": metadata, "Id": id}
 
 
-def load_composite(paths: List, id=None) -> Dict[str, Any]:
-    """Load a list of files as one stacked volume, sorted by filename."""
+def load_composite(paths: List, id=None, num_workers: Optional[int] = None) -> Dict[str, Any]:
+    """Load a list of files as one stacked volume, sorted by filename.
+
+    Deep stacks (per-slice DICOM dirs) fan the per-file decode over a thread
+    pool — the reference fans the same work over a multiprocessing.Pool
+    (io_utils.py:66-92); pydicom/PIL/numpy decoding releases the GIL, so
+    threads get the same parallel decode without fork+pickle overhead.
+    Serial for short lists where pool startup would dominate."""
     paths = sorted(str(p) for p in paths)
-    payloads = [load_image(p, id=id) for p in paths]
+    if num_workers is None:
+        import os
+
+        num_workers = min(8, os.cpu_count() or 1) if len(paths) >= 8 else 0
+    if num_workers and num_workers > 1 and len(paths) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_workers,
+                                thread_name_prefix="composite") as pool:
+            payloads = list(pool.map(lambda p: load_image(p, id=id), paths))
+    else:
+        payloads = [load_image(p, id=id) for p in paths]
     images = [np.asarray(p["Image"]) for p in payloads]
     stacked = np.stack(images, axis=0)
     metadata = payloads[0].get("Metadata")

@@ -444,7 +444,7 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
                             disable=(True if not mesh_lib.is_main_process() else None))
         except ImportError:
             pass
-        t_batch = time.perf_counter()
+        t_epoch = t_batch = time.perf_counter()
         for batch in _batches:
             disc_active = _disc_is_active(discriminator is not None, gan_weight, gan_start,
                                           gan_start_steps, epoch, global_step)
@@ -484,9 +484,10 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
 
         averaged = {k: v / max(1, num_samples) for k, v in totals.items()}
         logging.info(
-            "Epoch %03d | loss %.6f (recon %.6f, perc %.6f, kl %.6f, vq %.6f, g_gan %.6f, d_gan %.6f)",
+            "Epoch %03d | loss %.6f (recon %.6f, perc %.6f, kl %.6f, vq %.6f, g_gan %.6f, d_gan %.6f) | %.1f samples/s",
             epoch, averaged["loss"], averaged["recon"], averaged["perceptual"],
             averaged["kl"], averaged["vq"], averaged["g_gan"], averaged["d_gan"],
+            num_samples / max(time.perf_counter() - t_epoch, 1e-9),
         )
 
         # -------- validation (mirrors train losses, vae_lib.py:373-483)

@@ -100,6 +100,18 @@ def test_io_loaders(data_root, tmp_path):
     assert load_image(tmp_path / "z.npz")["Image"].shape == (3, 3)
     comp = load_composite([data_root / "data" / f"img_{i}.npy" for i in range(3)])
     assert comp["Image"].shape == (3, 2, 2)
+    # threaded fan-out (deep stacks) is order-preserving and value-identical
+    # to the serial path (reference fans over multiprocessing.Pool,
+    # io_utils.py:66-92)
+    deep_dir = tmp_path / "deep"
+    deep_dir.mkdir()
+    for i in range(12):
+        np.save(deep_dir / f"s{i:02d}.npy", np.full((2, 2), float(i), np.float32))
+    serial = load_composite(sorted(deep_dir.iterdir()), num_workers=0)
+    threaded = load_composite(sorted(deep_dir.iterdir()), num_workers=4)
+    np.testing.assert_array_equal(serial["Image"], threaded["Image"])
+    assert threaded["Image"].shape == (12, 2, 2)
+    np.testing.assert_array_equal(threaded["Image"][:, 0, 0], np.arange(12.0))
     # directory dispatch stacks sorted files
     vol_dir = tmp_path / "vol"
     vol_dir.mkdir()
