@@ -9,9 +9,13 @@ of HBM: per (batch*head, q-block) grid cell we stream K/V tiles through VMEM
 and carry running (max, sum, weighted-V) statistics — the standard
 flash-attention recurrence, with f32 accumulation on the MXU.
 
-Backward uses the saved (q, k, v, out, logsumexp) residuals with the exact
-attention gradient in XLA (training hot path defaults to the XLA forward; the
-Pallas kernel primarily accelerates the compiled sampling scan).
+Backward is a pair of Pallas kernels over the saved (q, k, v, out, logsumexp)
+residuals — a dK/dV kernel gridded over KV blocks and a dQ kernel gridded over
+Q blocks — recomputing probability tiles from the logsumexp so the T×T score
+matrix never touches HBM in either direction (the round-2 backward
+materialized it via XLA einsums, which capped long-token 3D training). A
+full-materialization XLA formulation is kept behind
+``set_flash_backward('xla')`` for debugging/parity checks.
 """
 
 from __future__ import annotations
@@ -112,8 +116,134 @@ def _flash_fwd_rule(q, k, v, scale, block_q, block_k):
     return out, (q, k, v, out, lse)
 
 
+_FLASH_BWD = "pallas"  # "pallas" | "xla"
+_LANES = 128
+
+
+def set_flash_backward(name: str) -> None:
+    global _FLASH_BWD
+    if name not in ("pallas", "xla"):
+        raise ValueError(f"Unknown flash backward '{name}'")
+    _FLASH_BWD = name
+
+
+def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                          dk_ref, dv_ref, *, scale: float, block_q: int):
+    # blocks: q/do (1, Tq, d) full; lse/delta (1, Tq, 128) lane-broadcast;
+    # k/v/dk/dv (1, block_k, d).
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    block_k = k.shape[0]
+    tq = q_ref.shape[1]
+    reps = block_k // _LANES
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]       # (bq, 128)
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]   # (bq, 128)
+        s = scale * jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        p = jnp.exp(s - jnp.tile(lse, (1, reps)))              # normalized probs
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.tile(delta, (1, reps)))
+        dk = dk + scale * jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, tq // block_q, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                         dq_ref, *, scale: float, block_k: int):
+    # blocks: q/do/dq (1, block_q, d); lse/delta (1, block_q, 128); k/v (1, Tk, d).
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = jnp.tile(lse_ref[0], (1, block_k // _LANES))
+    delta = jnp.tile(delta_ref[0], (1, block_k // _LANES))
+    tk = k_ref.shape[1]
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, tk // block_k, body, jnp.zeros(q.shape, jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_backward_pallas(q, k, v, out, lse, g, scale, block_q, block_k):
+    bh, tq_real, d = q.shape
+    tk = k.shape[1]
+    dv_dim = v.shape[-1]
+    gf = g.astype(jnp.float32)
+    delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1, keepdims=True)
+    # Pad Q-side tensors to a block_q multiple; padded rows get lse=+big so
+    # their probability tiles are exactly zero and contribute nothing.
+    q_p, _ = _pad_to(q, 1, block_q)
+    do_p, _ = _pad_to(g, 1, block_q)
+    tq_pad = q_p.shape[1]
+    pad_rows = tq_pad - tq_real
+    lse_b = jnp.broadcast_to(lse.astype(jnp.float32), (bh, tq_real, _LANES))
+    delta_b = jnp.broadcast_to(delta, (bh, tq_real, _LANES))
+    if pad_rows:
+        lse_b = jnp.pad(lse_b, ((0, 0), (0, pad_rows), (0, 0)),
+                        constant_values=1e30)
+        delta_b = jnp.pad(delta_b, ((0, 0), (0, pad_rows), (0, 0)))
+    interpret = jax.default_backend() != "tpu"
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, block_q=block_q),
+        grid=(bh, tk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, tq_pad, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, tq_pad, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, tq_pad, _LANES), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, tq_pad, _LANES), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dv_dim), lambda b, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dv_dim), lambda b, j: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        interpret=interpret,
+    )(q_p, do_p, lse_b, delta_b, k, v)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, block_k=block_k),
+        grid=(bh, tq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tk, dv_dim), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+        interpret=interpret,
+    )(q_p, do_p, lse_b, delta_b, k, v)
+    return dq[:, :tq_real], dk, dv
+
+
 def _flash_bwd_rule(scale, block_q, block_k, res, g):
     q, k, v, out, lse = res
+    if _FLASH_BWD == "pallas":
+        return _flash_backward_pallas(q, k, v, out, lse, g, scale, block_q, block_k)
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
@@ -175,16 +305,18 @@ def flash_attention(
 # here is the sampling path, which is forward-only).
 
 def _mha_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, head_pack: int):
-    # blocks: q/k/v/o (1, head_pack, T, d); static unrolled head loop
+    # blocks: q/k/v/o (1, head_pack, T, d); static unrolled head loop.
+    # Dots take the inputs in their native dtype (bf16 on the sampling path —
+    # MXU bf16 is ~2x its f32 rate) and accumulate f32; softmax stays f32.
     for h in range(head_pack):
-        q = q_ref[0, h].astype(jnp.float32) * scale     # (T, d)
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (T, T) in VMEM
+        q = q_ref[0, h]                                  # (T, d)
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp(s - m)                               # (T, T) f32 in VMEM
         l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32) / l
         o_ref[0, h] = o.astype(o_ref.dtype)
 
 

@@ -55,6 +55,59 @@ def test_flash_attention_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
 
 
+def test_flash_attention_gradients_ragged_q():
+    # exercise the backward padding path (lse padded with +big -> zero tiles)
+    q = jax.random.normal(jax.random.PRNGKey(10), (1, 2, 300, 32))
+    k = jax.random.normal(jax.random.PRNGKey(11), (1, 2, 256, 32))
+    v = jax.random.normal(jax.random.PRNGKey(12), (1, 2, 256, 32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(sdpa_xla(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
+
+
+def test_flash_backward_pallas_matches_xla_formulation():
+    from fmdm_tpu.ops.pallas.flash_attention import set_flash_backward
+
+    shape = (2, 1, 256, 32)
+    q = jax.random.normal(jax.random.PRNGKey(13), shape)
+    k = jax.random.normal(jax.random.PRNGKey(14), shape)
+    v = jax.random.normal(jax.random.PRNGKey(15), shape)
+
+    def loss(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, block_q=128, block_k=128)))
+
+    g_pallas = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    try:
+        set_flash_backward("xla")
+        g_xla = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        set_flash_backward("pallas")
+    for a, b in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_mha_small_t_matches_xla(dtype):
+    from fmdm_tpu.ops.pallas.flash_attention import mha_small_t
+
+    shape = (2, 8, 256, 8)  # flagship-like: many tiny heads, short T
+    q = jax.random.normal(jax.random.PRNGKey(16), shape).astype(dtype)
+    k = jax.random.normal(jax.random.PRNGKey(17), shape).astype(dtype)
+    v = jax.random.normal(jax.random.PRNGKey(18), shape).astype(dtype)
+    ours = np.asarray(mha_small_t(q, k, v), np.float32)
+    ref = np.asarray(sdpa_xla(q, k, v), np.float32)
+    tol = 2e-4 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(ours, ref, rtol=tol, atol=tol)
+
+
 def test_sdpa_backend_dispatch():
     from fmdm_tpu.ops.attention import get_sdpa_backend, sdpa, set_sdpa_backend
 
