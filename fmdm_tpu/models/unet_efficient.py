@@ -212,8 +212,9 @@ class EfficientUNetND(Module):
             hs.append(h)
         h = self.middle_block(params["middle_block"], h, emb=emb, context=context_ca, **kwargs)
         for i, block in enumerate(self.output_blocks):
-            h = jnp.concatenate([h, hs.pop()], axis=1)
-            h = block(out_params.get(str(i), {}), h, emb=emb, context=context_ca, **kwargs)
+            # parts tuple: the leading ResBlockND normalizes per part so GN
+            # stats fuse into each producer conv (nn/blocks.py _gn_act_parts)
+            h = block(out_params.get(str(i), {}), (h, hs.pop()), emb=emb, context=context_ca, **kwargs)
         h = self.out(params["out"], h)
         h = self.unpool(params.get("unpool", {}), h)
         return h

@@ -118,6 +118,18 @@ class ResBlockND(Module):
             h = h * (1 + scale.reshape(scale.shape + (1,) * nd)) + shift.reshape(shift.shape + (1,) * nd)
         return self.act(h)
 
+    def _gn_act_parts(self, p: Params, parts) -> jax.Array:
+        """GN+act over an implicit concat, stats reduced per part."""
+        if isinstance(self.norm1, GroupNorm):
+            from fmdm_tpu.ops.norm import group_norm_parts
+
+            out = group_norm_parts(
+                parts, p.get("weight"), p.get("bias"),
+                num_groups=self.norm1.num_groups, eps=self.norm1.eps,
+            )
+            return self.act(out)
+        return self._gn_act(self.norm1, p, jnp.concatenate(parts, axis=1))
+
     def __call__(
         self,
         params: Params,
@@ -128,7 +140,16 @@ class ResBlockND(Module):
         rng: Optional[jax.Array] = None,
         **kwargs,
     ) -> jax.Array:
-        h = self._gn_act(self.norm1, params["norm1"], x)
+        if isinstance(x, (tuple, list)):
+            # decoder skip-concat path: normalize the parts BEFORE the concat
+            # so the GN stats reduce per part and fuse into each producer conv
+            # (a concat cannot host a stats epilogue — ops/norm.py
+            # group_norm_parts). Numerics identical to GN(concat(parts)).
+            parts = tuple(x)
+            x = jnp.concatenate(parts, axis=1)
+            h = self._gn_act_parts(params["norm1"], parts)
+        else:
+            h = self._gn_act(self.norm1, params["norm1"], x)
         h = self.conv1(params["conv1"], h)
 
         scale = shift = None

@@ -153,8 +153,10 @@ class UpBlock2DCompat(Module):
         for idx, resnet in enumerate(self.resnets):
             res_hidden_states = res_hidden_states_tuple[-1]
             res_hidden_states_tuple = res_hidden_states_tuple[:-1]
-            hidden_states = jnp.concatenate([hidden_states, res_hidden_states], axis=1)
-            hidden_states = resnet(params["resnets"][str(idx)], hidden_states, temb, **kwargs)
+            # pass the parts unconcatenated: ResBlockND normalizes per part so
+            # the GN stats fuse into the producers (see _gn_act_parts)
+            hidden_states = resnet(
+                params["resnets"][str(idx)], (hidden_states, res_hidden_states), temb, **kwargs)
             if self.with_attention:
                 hidden_states = self.attentions[idx](params["attentions"][str(idx)], hidden_states, context=context, **kwargs)
         if self.add_upsample:

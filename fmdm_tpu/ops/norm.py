@@ -72,6 +72,70 @@ def group_norm(
     return xf.astype(orig_dtype)
 
 
+def group_norm_parts(
+    parts,
+    weight: Optional[jax.Array],
+    bias: Optional[jax.Array],
+    *,
+    num_groups: int,
+    eps: float = 1e-5,
+):
+    """GroupNorm over a channel-concat with statistics reduced per part.
+
+    Numerically equivalent to ``group_norm(concat(parts, axis=1), ...)`` but
+    the statistics are reduced per part: on the decoder skip-concat path the
+    concatenated tensor's producer is a concat, which XLA cannot host a stats
+    epilogue on — the profile shows those stats as standalone full-HBM reads
+    (1.4 ms each at 256²x256ch, BENCHMARKS.md round-3 op profile). Per-part
+    channel sums fuse into each part's producing conv instead; per-channel
+    granularity keeps grouping exact even when a group straddles the part
+    boundary (e.g. 128+256 ch under 32 groups). Returns the normalized
+    CONCATENATED tensor: the apply chain runs on the concat so it keeps its
+    pre-existing shape and folds into the consumer conv's prologue (applying
+    per part was measured to break that fusion).
+    """
+    n = parts[0].shape[0]
+    spatial = parts[0].shape[2:]
+    c_total = sum(p.shape[1] for p in parts)
+    if c_total % num_groups != 0:
+        raise ValueError(f"channels {c_total} not divisible by groups {num_groups}")
+    cg = c_total // num_groups
+    m_spatial = 1
+    for s in spatial:
+        m_spatial *= s
+
+    s1_parts, s2_parts = [], []
+    for p in parts:
+        pf = p.astype(jnp.float32).reshape(n, p.shape[1], -1)
+        s1_parts.append(jnp.sum(pf, axis=2))
+        s2_parts.append(jnp.sum(pf * pf, axis=2))
+    s1 = jnp.concatenate(s1_parts, axis=1).reshape(n, num_groups, cg)
+    s2 = jnp.concatenate(s2_parts, axis=1).reshape(n, num_groups, cg)
+    m = cg * m_spatial
+    mean = jnp.sum(s1, axis=2) / m
+    var = jnp.maximum(jnp.sum(s2, axis=2) / m - mean * mean, 0.0)
+
+    # Apply on the CONCATENATED tensor (not per part): the elementwise
+    # normalize/affine chain then has exactly the pre-existing shape, so XLA
+    # folds it into the consumer conv's prologue as before — applying per
+    # part was measured to break that fusion and materialize the normalized
+    # halves (round-3 profile). The concat is materialized by the caller for
+    # the residual skip anyway.
+    x = jnp.concatenate(parts, axis=1)
+    c = x.shape[1]
+    mean = mean.reshape(n, num_groups, 1, 1)
+    var = var.reshape(n, num_groups, 1, 1)
+    xf = x.astype(jnp.float32).reshape(n, num_groups, cg, -1)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(n, c, *spatial)
+    if weight is not None:
+        wshape = (1, c) + (1,) * len(spatial)
+        xf = xf * weight.astype(jnp.float32).reshape(wshape)
+        if bias is not None:
+            xf = xf + bias.astype(jnp.float32).reshape(wshape)
+    return xf.astype(x.dtype)
+
+
 def rms_norm_nd(x: jax.Array, weight: jax.Array, *, eps: float = 1e-6) -> jax.Array:
     """RMSNorm over all non-batch dims with per-channel scale
     (reference normalization.py:22-34)."""
@@ -119,3 +183,13 @@ def run_self_tests() -> None:
     ln = np.asarray(layer_norm(x, None, None))
     lref = (xf - xf.mean(-1, keepdims=True)) / np.sqrt(xf.var(-1, keepdims=True) + 1e-5)
     np.testing.assert_allclose(ln, lref, atol=2e-4)
+
+    # group_norm_parts == group_norm(concat(parts)) — including a group that
+    # straddles the part boundary (5+7=12 channels under 4 groups of 3)
+    a = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 6, 6))
+    b = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 6, 6))
+    w = jax.random.normal(jax.random.PRNGKey(3), (12,))
+    bb = jax.random.normal(jax.random.PRNGKey(4), (12,))
+    got = np.asarray(group_norm_parts([a, b], w, bb, num_groups=4))
+    want = np.asarray(group_norm(jnp.concatenate([a, b], axis=1), w, bb, num_groups=4))
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -304,6 +304,26 @@ def flash_attention(
 # these shapes is a negligible share of the training step; the win targeted
 # here is the sampling path, which is forward-only).
 
+def _mha_packed_batched_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    # blocks: q/k/v/o (1, head_pack, T, d); ONE batched dot per stage so the
+    # MXU pipeline is fed head_pack matmuls at once instead of an unrolled
+    # per-head loop (the per-head variant is latency-bound at d=8).
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale                                            # (pack, T, T) f32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / l
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
 def _mha_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, head_pack: int):
     # blocks: q/k/v/o (1, head_pack, T, d); static unrolled head loop.
     # Dots take the inputs in their native dtype (bf16 on the sampling path —
@@ -320,14 +340,16 @@ def _mha_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, head_pack: i
         o_ref[0, h] = o.astype(o_ref.dtype)
 
 
-def _mha_packed_forward(q, k, v, scale, head_pack):
+def _mha_packed_forward(q, k, v, scale, head_pack, batched=False):
     bh, t, d = q.shape
     packs = bh // head_pack
     q4 = q.reshape(packs, head_pack, t, d)
     k4 = k.reshape(packs, head_pack, t, d)
     v4 = v.reshape(packs, head_pack, t, v.shape[-1])
+    kernel = (functools.partial(_mha_packed_batched_kernel, scale=scale) if batched
+              else functools.partial(_mha_packed_kernel, scale=scale, head_pack=head_pack))
     out = pl.pallas_call(
-        functools.partial(_mha_packed_kernel, scale=scale, head_pack=head_pack),
+        kernel,
         grid=(packs,),
         in_specs=[
             pl.BlockSpec((1, head_pack, t, d), lambda b: (b, 0, 0, 0)),
@@ -341,16 +363,16 @@ def _mha_packed_forward(q, k, v, scale, head_pack):
     return out.reshape(bh, t, v.shape[-1])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _mha_packed_3d(q, k, v, scale, head_pack):
-    return _mha_packed_forward(q, k, v, scale, head_pack)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _mha_packed_3d(q, k, v, scale, head_pack, batched=False):
+    return _mha_packed_forward(q, k, v, scale, head_pack, batched)
 
 
-def _mha_packed_fwd_rule(q, k, v, scale, head_pack):
-    return _mha_packed_forward(q, k, v, scale, head_pack), (q, k, v)
+def _mha_packed_fwd_rule(q, k, v, scale, head_pack, batched):
+    return _mha_packed_forward(q, k, v, scale, head_pack, batched), (q, k, v)
 
 
-def _mha_packed_bwd_rule(scale, head_pack, res, g):
+def _mha_packed_bwd_rule(scale, head_pack, batched, res, g):
     q, k, v = res
 
     def ref_attn(q, k, v):
@@ -372,6 +394,7 @@ def mha_small_t(
     *,
     scale: Optional[float] = None,
     max_head_pack: int = 16,
+    batched: bool = False,
 ) -> jax.Array:
     """Head-packed attention for small self-attention (T == S, T ≤ ~512)."""
     if scale is None:
@@ -387,5 +410,5 @@ def mha_small_t(
         if candidate <= max_head_pack and bh % candidate == 0:
             head_pack = candidate
             break
-    out = _mha_packed_3d(q3, k3, v3, float(scale), int(head_pack))
+    out = _mha_packed_3d(q3, k3, v3, float(scale), int(head_pack), bool(batched))
     return out.reshape(lead + (tq, v.shape[-1]))

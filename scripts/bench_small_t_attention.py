@@ -70,18 +70,20 @@ def main():
             kv = jax.random.normal(jax.random.PRNGKey(2), (b, h, t, d)).astype(dtype)
             row = {"shape": [b, h, t, d], "dtype": str(dtype.__name__)}
             row["xla_ms"] = round(timed(sdpa_xla, kq, kk, kv), 3)
-            for pack in (4, 8, 16, 32):
-                fn = functools.partial(mha_small_t, max_head_pack=pack)
+            for pack, batched in [(4, True), (8, True), (16, True), (32, True),
+                                  (16, False)]:
+                tag = f"pack{pack}" + ("" if batched else "_unrolled")
+                fn = functools.partial(mha_small_t, max_head_pack=pack, batched=batched)
                 try:
                     ms = timed(fn, kq, kk, kv)
                     # correctness guard at the benchmarked shape
                     ref = np.asarray(sdpa_xla(kq, kk, kv), np.float32)
                     got = np.asarray(fn(kq, kk, kv), np.float32)
                     err = float(np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9))
-                    row[f"pallas_pack{pack}_ms"] = round(ms, 3)
-                    row[f"pallas_pack{pack}_relerr"] = round(err, 5)
+                    row[f"pallas_{tag}_ms"] = round(ms, 3)
+                    row[f"pallas_{tag}_relerr"] = round(err, 5)
                 except Exception as e:  # shapes a pack doesn't support
-                    row[f"pallas_pack{pack}_ms"] = f"error:{type(e).__name__}"
+                    row[f"pallas_{tag}_ms"] = f"error:{type(e).__name__}"
             results.append(row)
             print(json.dumps(row), flush=True)
     print(json.dumps({"results": results}))

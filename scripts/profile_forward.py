@@ -60,6 +60,8 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     print(f"forward: {dt*1e3:.1f} ms -> {batch/dt:.1f} samples/s (batch {batch})")
 
+    import shutil
+    shutil.rmtree("/tmp/trace_fwd", ignore_errors=True)  # stale sessions skew attribution
     with jax.profiler.trace("/tmp/trace_fwd"):
         for _ in range(iters):
             run()

@@ -73,6 +73,8 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     print(f"train step: {dt*1e3:.1f} ms -> {batch/dt:.1f} samples/s (batch {batch})")
 
+    import shutil
+    shutil.rmtree("/tmp/trace_train", ignore_errors=True)  # stale sessions skew attribution
     with jax.profiler.trace("/tmp/trace_train"):
         for i in range(10, 10 + iters):
             run(i)
