@@ -1,5 +1,6 @@
 """Device mesh / sharding helpers."""
 
+from fmdm_tpu.parallel.sequence import ring_attention, sequence_parallel_sdpa
 from fmdm_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
