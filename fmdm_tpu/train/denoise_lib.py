@@ -72,6 +72,12 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
         training_cfg.get("conditioning") or model_block.get("conditioning")
     )
     save_model_epochs = int(training_cfg.get("save_model_epochs", training_cfg.get("save_every", 5)))
+    # How often to gather state off-device and write last/best checkpoints.
+    # Default 1 = reference parity (every epoch, training_utils.py save flow);
+    # raising it matters on remote-attached accelerators where the host
+    # readback is slow (~7 MB/s through the axon tunnel -> minutes per save
+    # of a 113M-param model+optimizer). The final epoch always saves.
+    checkpoint_every = int(training_cfg.get("checkpoint_every_epochs", 1))
     grad_accum = max(1, int(training_cfg.get("gradient_accumulation_steps", 1)))
     lr_warmup = int(training_cfg.get("lr_warmup_steps", 500))
     latent_norm = training_cfg.get("latent_norm")
@@ -306,18 +312,20 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             )
 
         current_metric = avg_loss
-        # mesh_lib.to_host gathers globally sharded (multi-process FSDP)
-        # leaves before the numpy conversion
-        state = {
-            "model": mesh_lib.to_host(params),
-            "optimizer": mesh_lib.to_host(opt_state),
-            "lr_scheduler": {"last_epoch": epoch},
-            "scaler": None,
-            "epoch": epoch,
-            "best_metric": best_metric,
-        }
+        state = None
+        if epoch % checkpoint_every == 0 or epoch == epochs:
+            # mesh_lib.to_host gathers globally sharded (multi-process FSDP)
+            # leaves before the numpy conversion
+            state = {
+                "model": mesh_lib.to_host(params),
+                "optimizer": mesh_lib.to_host(opt_state),
+                "lr_scheduler": {"last_epoch": epoch},
+                "scaler": None,
+                "epoch": epoch,
+                "best_metric": best_metric,
+            }
 
-        if mesh_lib.is_main_process():
+        if mesh_lib.is_main_process() and state is not None:
             ckpt_utils.save_checkpoint(state, output_dir / f"{prefix}_last.pt")
             if current_metric < best_metric:
                 best_metric = current_metric
@@ -339,8 +347,9 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             rng, vis_rng = jax.random.split(rng)
             # host copy of the params (state['model']): the visual probe runs
             # rank-0-only, so it must not touch the global training mesh
+            host_params = state["model"] if state is not None else mesh_lib.to_host(params)
             outputs = decode_diffusion_batch(
-                model, state["model"], training_cfg, cfg["model"],
+                model, host_params, training_cfg, cfg["model"],
                 tuple(visual_targets.shape),
                 visual_cond if conditioning_mode in {"concatenate", "attention"} else None,
                 rng=vis_rng,

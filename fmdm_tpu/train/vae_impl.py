@@ -136,6 +136,10 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     kl_anneal_steps = int(training_cfg.get("kl_anneal_steps", 0))
     codebook_weight = float(training_cfg.get("codebook_weight", 1.0))
     save_every = int(training_cfg.get("save_every", 1))
+    # gather/save cadence for last/best checkpoints (default 1 = reference
+    # parity); see denoise_lib — host readback off a remote-attached chip is
+    # the cost, not the disk write. The final epoch always saves.
+    checkpoint_every = int(training_cfg.get("checkpoint_every_epochs", 1))
     grad_accum = max(1, int(training_cfg.get("gradient_accumulation_steps", 1)))
 
     base_output_dir = Path(training_cfg.get("output_dir", "checkpoints/vae"))
@@ -517,29 +521,32 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             )
 
         current_metric = val_avg["loss"] if val_avg is not None else averaged["loss"]
-        full_params = _merge_ema(gen_params, ema_state)
-        state = {
-            "model": mesh_lib.to_host(full_params),
-            "optimizer": mesh_lib.to_host(opt_state),
-            "disc_optimizer": mesh_lib.to_host(disc_opt_state) if disc_opt_state is not None else None,
-            "scheduler": {"last_epoch": epoch},
-            "scaler": None,
-            "epoch": epoch,
-            "best_metric": best_metric,
-        }
-        if disc_params is not None:
-            state["extra_state"] = {"disc_params": mesh_lib.to_host(disc_params)}
+        state = None
+        if epoch % checkpoint_every == 0 or epoch == epochs:
+            full_params = _merge_ema(gen_params, ema_state)
+            state = {
+                "model": mesh_lib.to_host(full_params),
+                "optimizer": mesh_lib.to_host(opt_state),
+                "disc_optimizer": mesh_lib.to_host(disc_opt_state) if disc_opt_state is not None else None,
+                "scheduler": {"last_epoch": epoch},
+                "scaler": None,
+                "epoch": epoch,
+                "best_metric": best_metric,
+            }
+            if disc_params is not None:
+                state["extra_state"] = {"disc_params": mesh_lib.to_host(disc_params)}
 
         # rank-0 writes only (params are replicated; denoise_lib gates the
         # same way) — every host saving would race on the shared filesystem
-        if mesh_lib.is_main_process():
+        if mesh_lib.is_main_process() and state is not None:
             ckpt_utils.save_checkpoint(state, output_dir / "vae_last.pt")
         if current_metric < best_metric:
             best_metric = current_metric
-            state["best_metric"] = best_metric
-            if mesh_lib.is_main_process():
-                ckpt_utils.save_checkpoint(state, output_dir / "vae_best.pt")
-                logging.info("New best (%.6f) -> %s", best_metric, output_dir / "vae_best.pt")
+            if state is not None:
+                state["best_metric"] = best_metric
+                if mesh_lib.is_main_process():
+                    ckpt_utils.save_checkpoint(state, output_dir / "vae_best.pt")
+                    logging.info("New best (%.6f) -> %s", best_metric, output_dir / "vae_best.pt")
 
         if mesh_lib.is_main_process():
             denom = max(num_samples, 1)
@@ -551,7 +558,7 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             with metrics_path.open("a") as handle:
                 handle.write(",".join(row) + "\n")
 
-        should_save = epoch % save_every == 0 or epoch == epochs
+        should_save = (epoch % save_every == 0 or epoch == epochs) and state is not None
         if should_save:
             epoch_dir = output_dir / "epochs" / f"epoch{epoch:04d}"
             if mesh_lib.is_main_process():

@@ -84,6 +84,10 @@ def write_config(root: Path, epochs: int) -> Path:
         "lr_warmup_steps": 100,
         "use_tensor_cache": True,
         "save_tensor_cache": True,
+        # host readback through the axon tunnel is ~7 MB/s; gathering the
+        # 113M-param state every epoch would dominate wall time
+        "checkpoint_every_epochs": 10,
+        "visual_every": 1000,
     })
     # dataset.json walk needs an ancestor copy next to the config
     cfg_dir = root / "configs"
