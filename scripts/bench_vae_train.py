@@ -59,6 +59,7 @@ def cfg_magvit(root: Path, epochs: int) -> dict:
         "output_dir": str(root / "magvit_run"), "epochs": epochs,
         "batch_size": 8, "gan_weight": 0.1, "gan_start": 0,
         "save_images": False, "save_every": max(1, epochs),
+        "checkpoint_every_epochs": max(1, epochs),
         "perceptual_weight": 0.0,
     })
     return cfg
@@ -72,6 +73,7 @@ def cfg_kl_gan(root: Path, epochs: int) -> dict:
         "batch_size": 8, "gan_weight": 0.1, "gan_start": 0,
         "kl_weight": 1e-6, "kl_anneal_steps": 20,
         "save_images": False, "save_every": max(1, epochs),
+        "checkpoint_every_epochs": max(1, epochs),
         "perceptual_weight": 0.0,
     })
     return cfg

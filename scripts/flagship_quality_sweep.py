@@ -69,8 +69,10 @@ def gen_dataset(root: Path, n_train_cases=6, n_test_cases=2, depth=24, seed=0):
     (root / "test.txt").write_text("Case\tSDCT\tLDCT\n" + "\n".join(rows_test) + "\n")
 
 
-def write_config(root: Path, epochs: int) -> Path:
-    base = json.loads((REPO / "configs/LDCT/LDCT_ddpm_diffusers_nd.json").read_text())
+def write_config(root: Path, epochs: int, variant: str = "diffusion") -> Path:
+    src = ("configs/LDCT/LDCT_ddpm_diffusers_nd.json" if variant == "diffusion"
+           else "configs/LDCT/LDCT_flow_matching_diffusers_nd.json")
+    base = json.loads((REPO / src).read_text())
     tr = base["training"]
     tr.update({
         "data_root": str(root),
@@ -86,7 +88,7 @@ def write_config(root: Path, epochs: int) -> Path:
         "save_tensor_cache": True,
         # host readback through the axon tunnel is ~7 MB/s; gathering the
         # 113M-param state every epoch would dominate wall time
-        "checkpoint_every_epochs": 10,
+        "checkpoint_every_epochs": 50,
         "visual_every": 1000,
     })
     # dataset.json walk needs an ancestor copy next to the config
@@ -94,7 +96,7 @@ def write_config(root: Path, epochs: int) -> Path:
     cfg_dir.mkdir(exist_ok=True)
     (cfg_dir / "dataset.json").write_text(
         (REPO / "configs/LDCT/dataset.json").read_text())
-    path = cfg_dir / "flagship_sweep.json"
+    path = cfg_dir / f"flagship_sweep_{variant}.json"
     path.write_text(json.dumps(base, indent=2))
     return path
 
@@ -111,7 +113,7 @@ def run(cmd, log: Path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", type=Path, default=Path("/tmp/flagship_sweep"))
-    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-data", action="store_true")
     ap.add_argument("--aliases", default=",".join(ALIASES))
@@ -123,19 +125,33 @@ def main():
     if not args.skip_data:
         gen_dataset(root)
         print("dataset generated", flush=True)
-    cfg = write_config(root, args.epochs)
 
-    run_dir = root / "run"
-    if not args.skip_train:
-        run([sys.executable, REPO / "train.py", "--config", cfg], root / "train.log")
-        # train.py allocates run/_runN? output_dir run -> run_run1 via allocate;
-        # find the newest run dir
-    candidates = sorted(run_dir.parent.glob("run*"), key=lambda p: p.stat().st_mtime)
-    ckpt_dir = candidates[-1] if candidates else run_dir
-    print("ckpt_dir:", ckpt_dir, flush=True)
+    # Two trained models: the diffusion (eps) flagship serves the 7 diffusion
+    # aliases; flowmatch needs a velocity-target model (sampling an
+    # eps-model with the flow-match scheduler is meaningless), so the
+    # LDCT_flow_matching config trains its own.
+    aliases = args.aliases.split(",")
+    ckpt_dirs = {}
+    for variant in ("diffusion", "flow_matching"):
+        need = (any(a != "flowmatch" for a in aliases) if variant == "diffusion"
+                else "flowmatch" in aliases)
+        if not need:
+            continue
+        cfg = write_config(root, args.epochs, variant)
+        run_dir = root / f"run_{variant}"
+        json_cfg = json.loads(Path(cfg).read_text())
+        json_cfg["training"]["output_dir"] = str(run_dir)
+        Path(cfg).write_text(json.dumps(json_cfg, indent=2))
+        if not args.skip_train:
+            run([sys.executable, REPO / "train.py", "--config", cfg],
+                root / f"train_{variant}.log")
+        candidates = sorted(root.glob(f"run_{variant}*"), key=lambda p: p.stat().st_mtime)
+        ckpt_dirs[variant] = candidates[-1] if candidates else run_dir
+        print("ckpt_dir:", variant, ckpt_dirs[variant], flush=True)
 
     results = {}
-    for alias in args.aliases.split(","):
+    for alias in aliases:
+        ckpt_dir = ckpt_dirs["flow_matching" if alias == "flowmatch" else "diffusion"]
         out = root / "eval" / alias.replace("+", "p")
         out.mkdir(parents=True, exist_ok=True)
         run([sys.executable, REPO / "run_model.py",
