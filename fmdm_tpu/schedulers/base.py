@@ -139,3 +139,19 @@ class Scheduler:
 def broadcast_to_sample(coeff: jax.Array, sample: jax.Array) -> jax.Array:
     """(B,) -> (B, 1, 1, ...) matching sample rank."""
     return coeff.reshape(coeff.shape + (1,) * (sample.ndim - coeff.ndim)).astype(sample.dtype)
+
+
+def dynamic_threshold(x0: "jax.Array", ratio: float, max_value: float) -> "jax.Array":
+    """Imagen-style dynamic thresholding, diffusers `_threshold_sample` exact
+    (diffusers/schedulers/scheduling_dpmsolver_multistep.py): per-sample
+    quantile s of |x0| at `ratio`, clamped to [1, max_value]; x0 is clipped
+    to [-s, s] and rescaled by s. Stabilizes pixel-space models whose x0
+    predictions drift out of range (the measured failure mode of the DPM
+    family on undertrained flagship models, BENCHMARKS.md round-3 sweep).
+    Computed in f32; shape-polymorphic over ND samples."""
+    b = x0.shape[0]
+    flat = jnp.abs(x0.astype(jnp.float32)).reshape(b, -1)
+    s = jnp.quantile(flat, ratio, axis=1)
+    s = jnp.clip(s, 1.0, max_value)
+    s = s.reshape((b,) + (1,) * (x0.ndim - 1))
+    return (jnp.clip(x0.astype(jnp.float32), -s, s) / s).astype(x0.dtype)

@@ -37,6 +37,9 @@ class DPMSolverMultistepScheduler(Scheduler):
     lower_order_final: bool = True
     clip_sample: bool = False
     clip_sample_range: float = 1.0
+    thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    sample_max_value: float = 1.0
     num_inference_steps: Optional[int] = None
 
     @classmethod
@@ -52,6 +55,9 @@ class DPMSolverMultistepScheduler(Scheduler):
         lower_order_final: bool = True,
         clip_sample: bool = False,
         clip_sample_range: float = 1.0,
+        thresholding: bool = False,
+        dynamic_thresholding_ratio: float = 0.995,
+        sample_max_value: float = 1.0,
         **_unused,
     ) -> "DPMSolverMultistepScheduler":
         if solver_order not in (1, 2, 3):
@@ -72,6 +78,9 @@ class DPMSolverMultistepScheduler(Scheduler):
             lower_order_final=lower_order_final,
             clip_sample=clip_sample,
             clip_sample_range=clip_sample_range,
+            thresholding=thresholding,
+            dynamic_thresholding_ratio=dynamic_thresholding_ratio,
+            sample_max_value=sample_max_value,
         )
 
     @property
@@ -134,7 +143,14 @@ class DPMSolverMultistepScheduler(Scheduler):
             eps = alpha_t * model_output + sigma_t * sample
         else:
             raise ValueError(f"Unknown prediction_type '{self.prediction_type}'")
-        if self.clip_sample:
+        if self.thresholding:
+            # diffusers-parity dynamic thresholding (applies to the x0-space
+            # algorithms only, as in diffusers)
+            from fmdm_tpu.schedulers.base import dynamic_threshold
+
+            x0 = dynamic_threshold(x0, self.dynamic_thresholding_ratio,
+                                   self.sample_max_value)
+        elif self.clip_sample:
             # optional x0 stabilizer (off by default; diffusers' DPM solvers
             # don't clip — DDIM's clip_sample is why it is far more robust on
             # imperfect models, see BENCHMARKS.md sampler comparison)

@@ -66,6 +66,9 @@ class UniPCMultistepScheduler(Scheduler):
     solver_type: str = "bh2"
     clip_sample: bool = False
     clip_sample_range: float = 1.0
+    thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    sample_max_value: float = 1.0
     num_inference_steps: Optional[int] = None
 
     @classmethod
@@ -82,6 +85,9 @@ class UniPCMultistepScheduler(Scheduler):
         solver_type: str = "bh2",
         clip_sample: bool = False,
         clip_sample_range: float = 1.0,
+        thresholding: bool = False,
+        dynamic_thresholding_ratio: float = 0.995,
+        sample_max_value: float = 1.0,
         **_unused,
     ) -> "UniPCMultistepScheduler":
         if solver_order not in (1, 2, 3):
@@ -101,6 +107,9 @@ class UniPCMultistepScheduler(Scheduler):
             solver_type=solver_type,
             clip_sample=clip_sample,
             clip_sample_range=clip_sample_range,
+            thresholding=thresholding,
+            dynamic_thresholding_ratio=dynamic_thresholding_ratio,
+            sample_max_value=sample_max_value,
         )
 
     # -- shared sigma helpers (same convention as DPM-Solver) -----------------
@@ -154,7 +163,12 @@ class UniPCMultistepScheduler(Scheduler):
             eps = alpha_t * model_output + sigma_t * sample
         else:
             raise ValueError(f"Unknown prediction_type '{self.prediction_type}'")
-        if self.clip_sample:
+        if self.thresholding:
+            from fmdm_tpu.schedulers.base import dynamic_threshold
+
+            x0 = dynamic_threshold(x0, self.dynamic_thresholding_ratio,
+                                   self.sample_max_value)
+        elif self.clip_sample:
             x0 = jnp.clip(x0, -self.clip_sample_range, self.clip_sample_range)
         return x0 if self.predict_x0 else eps
 

@@ -158,16 +158,30 @@ def _linspace_timesteps(num_train, n):
     return np.linspace(0, num_train - 1, n + 1).round()[::-1][:-1].copy().astype(np.int64)
 
 
+def _threshold_sample(x0, ratio, max_value):
+    # diffusers _threshold_sample (Imagen dynamic thresholding), float64
+    b = x0.shape[0]
+    flat = np.abs(x0).reshape(b, -1)
+    s = np.quantile(flat, ratio, axis=1)
+    s = np.clip(s, 1.0, max_value).reshape((b,) + (1,) * (x0.ndim - 1))
+    return np.clip(x0, -s, s) / s
+
+
 class NpDPMSolverMultistep:
     def __init__(self, num_train_timesteps=1000, beta_start=1e-4, beta_end=0.02,
                  beta_schedule="linear", solver_order=2, algorithm_type="dpmsolver++",
-                 prediction_type="epsilon", lower_order_final=True):
+                 prediction_type="epsilon", lower_order_final=True,
+                 thresholding=False, dynamic_thresholding_ratio=0.995,
+                 sample_max_value=1.0):
         self.N = num_train_timesteps
         self.acp = np.cumprod(1.0 - _betas(beta_schedule, num_train_timesteps, beta_start, beta_end))
         self.solver_order = solver_order
         self.algorithm_type = algorithm_type
         self.prediction_type = prediction_type
         self.lower_order_final = lower_order_final
+        self.thresholding = thresholding
+        self.dynamic_thresholding_ratio = dynamic_thresholding_ratio
+        self.sample_max_value = sample_max_value
         # diffusers rejects final_sigmas_type="zero" for eps-space dpmsolver;
         # the reference's dpmsolver1/2 aliases therefore run with sigma_min.
         self.final_sigmas_type = "sigma_min" if algorithm_type == "dpmsolver" else "zero"
@@ -199,6 +213,9 @@ class NpDPMSolverMultistep:
             eps = alpha_t * model_output + sigma_t * sample
         else:
             raise ValueError(self.prediction_type)
+        if self.thresholding:
+            x0 = _threshold_sample(x0, self.dynamic_thresholding_ratio,
+                                   self.sample_max_value)
         return eps if self.algorithm_type == "dpmsolver" else x0
 
     def _first_order(self, m0, sample, noise):
@@ -312,7 +329,8 @@ class NpUniPC:
     def __init__(self, num_train_timesteps=1000, beta_start=1e-4, beta_end=0.02,
                  beta_schedule="linear", solver_order=2, predict_x0=True,
                  prediction_type="epsilon", lower_order_final=True,
-                 solver_type="bh2"):
+                 solver_type="bh2", thresholding=False,
+                 dynamic_thresholding_ratio=0.995, sample_max_value=1.0):
         self.N = num_train_timesteps
         self.acp = np.cumprod(1.0 - _betas(beta_schedule, num_train_timesteps, beta_start, beta_end))
         self.solver_order = solver_order
@@ -320,6 +338,9 @@ class NpUniPC:
         self.prediction_type = prediction_type
         self.lower_order_final = lower_order_final
         self.solver_type = solver_type
+        self.thresholding = thresholding
+        self.dynamic_thresholding_ratio = dynamic_thresholding_ratio
+        self.sample_max_value = sample_max_value
 
     def set_timesteps(self, n):
         self.timesteps = _linspace_timesteps(self.N, n)
@@ -348,6 +369,9 @@ class NpUniPC:
             eps = alpha_t * model_output + sigma_t * sample
         else:
             raise ValueError(self.prediction_type)
+        if self.thresholding and self.predict_x0:
+            x0 = _threshold_sample(x0, self.dynamic_thresholding_ratio,
+                                   self.sample_max_value)
         return x0 if self.predict_x0 else eps
 
     def _lam(self, sigma):

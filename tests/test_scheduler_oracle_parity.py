@@ -88,6 +88,10 @@ CASES = {
                    lambda: NpDPMSolverMultistep(algorithm_type="sde-dpmsolver++")),
     "unipc": (lambda: UniPCMultistepScheduler.create(num_train_timesteps=1000),
               lambda: NpUniPC()),
+    "dpmpp2_thresh": (lambda: DPMSolverMultistepScheduler.create(num_train_timesteps=1000, thresholding=True),
+                      lambda: NpDPMSolverMultistep(thresholding=True)),
+    "unipc_thresh": (lambda: UniPCMultistepScheduler.create(num_train_timesteps=1000, thresholding=True),
+                     lambda: NpUniPC(thresholding=True)),
     "flow": (lambda: FlowMatchEulerDiscreteScheduler.create(num_train_timesteps=1000),
              lambda: NpFlowMatchEuler()),
 }
