@@ -142,3 +142,27 @@ def test_checkpoint_torch_interop(tmp_path):
     sd = payload["model"]
     assert isinstance(sd["conv_in.weight"], torch.Tensor)
     assert sd["conv_in.weight"].shape == (8, 1, 3, 3)  # torch OIHW layout
+
+
+def test_checkpoint_every_epochs_gates_saves(tmp_path):
+    """training.checkpoint_every_epochs skips the state gather + last/best
+    writes on off-epochs; the final epoch always saves."""
+    from fmdm_tpu.train.diffusion_lib import train
+
+    cfg_path = _write_cfg(tmp_path, "diffusion", "ddpm")
+    cfg = json.loads(cfg_path.read_text())
+    cfg["training"]["num_epochs"] = 3
+    cfg["training"]["checkpoint_every_epochs"] = 2
+    cfg["training"]["save_model_epochs"] = 1
+    cfg["training"]["save_images"] = False
+    cfg_path.write_text(json.dumps(cfg))
+    ds = TinyMNIST(tmp_path / "data", train=True)
+
+    run_dir = train(ds, cfg_path)
+    # epoch-dir saves only land on gather epochs (2) and the final epoch (3)
+    assert not (run_dir / "epochs" / "epoch0001" / "epoch.pt").exists()
+    assert (run_dir / "epochs" / "epoch0002" / "epoch.pt").exists()
+    assert (run_dir / "epochs" / "epoch0003" / "epoch.pt").exists()
+    payload = load_checkpoint(run_dir / "diff_last.pt")
+    assert payload["epoch"] == 3
+    assert (run_dir / "diff_best.pt").exists()
