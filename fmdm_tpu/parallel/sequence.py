@@ -68,9 +68,12 @@ def ring_attention(
     n = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    m0 = jnp.full(q.shape[:-1] + (1,), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros(q.shape[:-1] + (1,), jnp.float32)
-    acc0 = jnp.zeros(q.shape[:-1] + (v.shape[-1],), jnp.float32)
+    # jax.shard_map's varying-axes typing: literal-constant carries must be
+    # marked as varying over the manual axis so the fori_loop carry types
+    # match the (data-derived, hence varying) loop outputs
+    m0 = jax.lax.pvary(jnp.full(q.shape[:-1] + (1,), -jnp.inf, jnp.float32), axis_name)
+    l0 = jax.lax.pvary(jnp.zeros(q.shape[:-1] + (1,), jnp.float32), axis_name)
+    acc0 = jax.lax.pvary(jnp.zeros(q.shape[:-1] + (v.shape[-1],), jnp.float32), axis_name)
 
     def body(i, carry):
         m, l, acc, k_cur, v_cur = carry
@@ -104,7 +107,7 @@ def sequence_parallel_sdpa(
     q/k/v are (..., T, D) with T divisible by the axis size. Leading dims are
     replicated; the token dim is sharded. Output shards match q's.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     ndim = q.ndim
     spec = P(*([None] * (ndim - 2) + [axis, None]))
@@ -113,7 +116,6 @@ def sequence_parallel_sdpa(
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
     )
     return fn(q, k, v)
 

@@ -59,7 +59,7 @@ def test_ring_custom_scale():
 
 
 def test_ring_gradients_match():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     import functools
 
@@ -72,7 +72,7 @@ def test_ring_gradients_match():
     spec = P(None, None, "data", None)
     ring = shard_map(
         functools.partial(ring_attention, axis_name="data"),
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_rep=False)
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
 
     def loss_ring(q, k, v):
         return jnp.sum(jnp.sin(ring(q, k, v)))
