@@ -48,7 +48,10 @@ _FLAG_SPEC = [
     ("--last_n_steps", dict(type=int, default=None, help="Run only the last N denoising steps.")),
     ("--scheduler", dict(type=str, default=None,
                          help="Override scheduler at runtime (ddpm, ddim, dpmsolver1, dpmsolver2, "
-                              "dpmsolver++, dpmsolversde, unipc, flowmatch).")),
+                              "dpmsolver++, dpmsolversde, unipc, flowmatch). Optional query "
+                              "params reach the scheduler config surface, e.g. "
+                              "'dpmsolver++?thresholding=true' (dynamic thresholding — "
+                              "stabilizes DPM-family solvers on imperfect pixel-space models).")),
     ("--save_input", dict(action="store_true",
                           help="Also save model inputs when --save is enabled.")),
     ("--save_conditioning", dict(action="store_true",

@@ -10,6 +10,7 @@ flowmatch/flow_match_euler), same ctor-kwarg filtering by signature.
 from __future__ import annotations
 
 import inspect
+import json
 from typing import Dict, Optional, Tuple
 
 from fmdm_tpu.schedulers.base import Scheduler
@@ -77,6 +78,18 @@ def resolve_scheduler_override(name: Optional[str]) -> Optional[Dict]:
     key = str(name).strip().lower()
     if not key:
         return None
+    # optional query-string params: "dpmsolver++?thresholding=true,order=3"
+    # (values parsed as JSON literals, bare words kept as strings) — lets the
+    # CLI reach the full scheduler config surface without new flags
+    extra: Dict = {}
+    if "?" in key:
+        key, _, qs = key.partition("?")
+        for kv in filter(None, qs.split(",")):
+            k, _, v = kv.partition("=")
+            try:
+                extra[k] = json.loads(v)
+            except (json.JSONDecodeError, ValueError):
+                extra[k] = v
     alias = {
         "ddpm": {"name": "ddpm"},
         "ddim": {"name": "ddim"},
@@ -88,12 +101,17 @@ def resolve_scheduler_override(name: Optional[str]) -> Optional[Dict]:
         "flowmatch": {"name": "flow_match_euler"},
         "flow_match_euler": {"name": "flow_match_euler"},
     }
+    cfg = None
     if key in alias:
-        return alias[key]
-    if key in SCHEDULER_REGISTRY:
-        return {"name": key}
-    available = ", ".join(sorted(alias.keys()))
-    raise ValueError(f"Unknown scheduler override '{name}'. Available: {available}")
+        cfg = dict(alias[key])
+    elif key in SCHEDULER_REGISTRY:
+        cfg = {"name": key}
+    else:
+        available = ", ".join(sorted(alias.keys()))
+        raise ValueError(f"Unknown scheduler override '{name}'. Available: {available}")
+    if extra:
+        cfg["params"] = {**cfg.get("params", {}), **extra}
+    return cfg
 
 
 def run_self_tests() -> None:
@@ -104,5 +122,8 @@ def run_self_tests() -> None:
     }
     assert resolve_scheduler_override("dpmsolver1")["params"]["solver_order"] == 1
     assert resolve_scheduler_override("dpmsolversde") == {"name": "dpm_sde"}
+    q = resolve_scheduler_override("dpmsolver++?thresholding=true")
+    assert q["params"]["thresholding"] is True and q["params"]["solver_order"] == 2
+    assert "thresholding" not in resolve_scheduler_override("dpmsolver++").get("params", {})
     sched, n = build_scheduler({"name": "ddim"}, {"num_inference_steps": 7})
     assert n == 7
