@@ -154,6 +154,12 @@ def to_host(tree):
         from jax.experimental import multihost_utils
 
         tree = multihost_utils.process_allgather(tree)
+    # ONE batched device->host transfer for the whole tree: leaf-by-leaf
+    # np.asarray pays a full round trip per leaf, which on a remote-attached
+    # accelerator (axon tunnel, ~125 ms RTT) turns a 1.7 GB checkpoint
+    # gather into ~30 minutes; jax.device_get pipelines all leaves at link
+    # bandwidth (~10 MB/s here).
+    tree = jax.device_get(tree)
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
