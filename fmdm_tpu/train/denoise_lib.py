@@ -312,6 +312,8 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             )
 
         current_metric = avg_loss
+        improved = current_metric < best_metric
+        best_metric = min(best_metric, current_metric)
         state = None
         if epoch % checkpoint_every == 0 or epoch == epochs:
             # mesh_lib.to_host gathers globally sharded (multi-process FSDP)
@@ -326,16 +328,15 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             }
 
         if mesh_lib.is_main_process() and state is not None:
-            ckpt_utils.save_checkpoint(state, output_dir / f"{prefix}_last.pt")
-            if current_metric < best_metric:
-                best_metric = current_metric
-                state["best_metric"] = best_metric
-                ckpt_utils.save_checkpoint(state, output_dir / f"{prefix}_best.pt")
-                logging.info("New best %s loss %.6f -> %s", variant, best_metric, output_dir / f"{prefix}_best.pt")
+            # one serialization; best/epoch copies are hardlink clones
+            mirrors = []
+            if improved:
+                mirrors.append(output_dir / f"{prefix}_best.pt")
             if epoch % save_model_epochs == 0 or epoch == epochs:
-                epoch_dir = output_dir / "epochs" / f"epoch{epoch:04d}"
-                ckpt_utils.save_checkpoint(state, epoch_dir / "epoch.pt")
-        best_metric = min(best_metric, current_metric)
+                mirrors.append(output_dir / "epochs" / f"epoch{epoch:04d}" / "epoch.pt")
+            ckpt_utils.save_checkpoint_with_mirrors(state, output_dir / f"{prefix}_last.pt", mirrors)
+            if improved:
+                logging.info("New best %s loss %.6f -> %s", variant, best_metric, output_dir / f"{prefix}_best.pt")
 
         save_samples = (
             visual_enabled

@@ -521,6 +521,8 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             )
 
         current_metric = val_avg["loss"] if val_avg is not None else averaged["loss"]
+        improved = current_metric < best_metric
+        best_metric = min(best_metric, current_metric)
         state = None
         if epoch % checkpoint_every == 0 or epoch == epochs:
             full_params = _merge_ema(gen_params, ema_state)
@@ -537,16 +539,20 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
                 state["extra_state"] = {"disc_params": mesh_lib.to_host(disc_params)}
 
         # rank-0 writes only (params are replicated; denoise_lib gates the
-        # same way) — every host saving would race on the shared filesystem
+        # same way) — every host saving would race on the shared filesystem.
+        # One serialization; best/epoch copies are hardlink clones.
+        should_save = (epoch % save_every == 0 or epoch == epochs) and state is not None
         if mesh_lib.is_main_process() and state is not None:
-            ckpt_utils.save_checkpoint(state, output_dir / "vae_last.pt")
-        if current_metric < best_metric:
-            best_metric = current_metric
-            if state is not None:
-                state["best_metric"] = best_metric
-                if mesh_lib.is_main_process():
-                    ckpt_utils.save_checkpoint(state, output_dir / "vae_best.pt")
-                    logging.info("New best (%.6f) -> %s", best_metric, output_dir / "vae_best.pt")
+            mirrors = []
+            if improved:
+                mirrors.append(output_dir / "vae_best.pt")
+            if should_save:
+                mirrors.append(output_dir / "epochs" / f"epoch{epoch:04d}" / "epoch.pt")
+            ckpt_utils.save_checkpoint_with_mirrors(state, output_dir / "vae_last.pt", mirrors)
+            if improved:
+                logging.info("New best (%.6f) -> %s", best_metric, output_dir / "vae_best.pt")
+            if should_save:
+                logging.info("Saved epoch checkpoint: %s", output_dir / "epochs" / f"epoch{epoch:04d}" / "epoch.pt")
 
         if mesh_lib.is_main_process():
             denom = max(num_samples, 1)
@@ -558,13 +564,8 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             with metrics_path.open("a") as handle:
                 handle.write(",".join(row) + "\n")
 
-        should_save = (epoch % save_every == 0 or epoch == epochs) and state is not None
         if should_save:
             epoch_dir = output_dir / "epochs" / f"epoch{epoch:04d}"
-            if mesh_lib.is_main_process():
-                ckpt_utils.save_checkpoint(state, epoch_dir / "epoch.pt")
-                logging.info("Saved epoch checkpoint: %s", epoch_dir / 'epoch.pt')
-
             if visual_enabled and (epoch % visual_every == 0 or epoch == epochs):
                 # split unconditionally so rng evolution stays identical on
                 # every process; only rank 0 runs the probe and writes PNGs

@@ -9,11 +9,13 @@ from fmdm_tpu.utils.config import (
     set_seed,
 )
 from fmdm_tpu.utils.checkpoint import (
+    clone_checkpoint,
     latest_checkpoint,
     load_checkpoint,
     maybe_load_checkpoint,
     load_model_params,
     save_checkpoint,
+    save_checkpoint_with_mirrors,
 )
 from fmdm_tpu.utils.evaluation import (
     compute_ssim_sample,

@@ -124,6 +124,36 @@ def test_async_backend_roundtrip(tmp_path, backend):
         ck.set_checkpoint_backend(old)
 
 
+def test_clone_checkpoint_survives_src_overwrite(tmp_path):
+    """clone = hardlink to the inode; a later atomic overwrite of src swaps
+    the inode and must not change the clone."""
+    src, dst = tmp_path / "last.pt", tmp_path / "best.pt"
+    ckpt_utils.save_checkpoint({"model": {"w": np.ones((2,))}, "epoch": 1}, src)
+    ckpt_utils.clone_checkpoint(src, dst)
+    assert src.stat().st_ino == dst.stat().st_ino  # no second serialization
+    ckpt_utils.save_checkpoint({"model": {"w": np.zeros((2,))}, "epoch": 2}, src)
+    assert ckpt_utils.load_checkpoint(dst)["epoch"] == 1
+    np.testing.assert_allclose(np.asarray(ckpt_utils.load_checkpoint(dst)["model"]["w"]), 1.0)
+    assert ckpt_utils.load_checkpoint(src)["epoch"] == 2
+
+
+@pytest.mark.parametrize("backend", ["torch", "torch_async", "orbax"])
+def test_save_checkpoint_with_mirrors(tmp_path, backend):
+    state = {"model": {"w": np.full((3,), 7.0, np.float32)}, "epoch": 5, "best_metric": 0.5}
+    primary = tmp_path / "diff_last.pt"
+    mirrors = [tmp_path / "diff_best.pt", tmp_path / "epochs" / "epoch0005" / "epoch.pt"]
+    ckpt_utils.save_checkpoint_with_mirrors(state, primary, mirrors, backend=backend)
+    ckpt_utils.flush_checkpoint_writes()
+    for path in [primary] + mirrors:
+        payload = ckpt_utils.load_checkpoint(path)
+        assert payload["epoch"] == 5 and payload["best_metric"] == 0.5
+        np.testing.assert_allclose(np.asarray(payload["model"]["w"]), 7.0)
+    if backend == "orbax":
+        assert primary.is_dir() and mirrors[0].is_dir()
+    else:
+        assert primary.stat().st_ino == mirrors[0].stat().st_ino
+
+
 def test_async_flush_reraises_writer_errors(tmp_path):
     from fmdm_tpu.utils import checkpoint as ck
 
