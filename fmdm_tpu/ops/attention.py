@@ -34,6 +34,67 @@ def get_sdpa_backend() -> str:
     return _SDPA_BACKEND
 
 
+# Sequence-parallel routing: when a trainer/engine sets a mesh with a token
+# ("seq") axis, sdpa shards the token dim over it and runs the ppermute ring
+# (parallel/sequence.py) — the reference has no analogue (single-GPU
+# attention, src/nn/blocks/attention.py); this is how volumetric token counts
+# outgrow one chip. GSPMD inserts the batch<->token resharding collectives at
+# the shard_map boundary, so the surrounding convs keep full data-parallel
+# batch sharding (Ulysses-style composition on ICI).
+_SEQ_PARALLEL = None  # (mesh, seq_axis, min_tokens) | None
+
+
+def set_sequence_parallel(mesh, axis: str = "seq", min_tokens: int = 512) -> None:
+    """Route sdpa through ring attention over ``mesh[axis]`` for token counts
+    that are >= min_tokens and divisible by the axis size."""
+    global _SEQ_PARALLEL
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no '{axis}' axis (axes: {mesh.axis_names})")
+    _SEQ_PARALLEL = (mesh, axis, int(min_tokens))
+
+
+def clear_sequence_parallel() -> None:
+    global _SEQ_PARALLEL
+    _SEQ_PARALLEL = None
+
+
+def get_sequence_parallel():
+    return _SEQ_PARALLEL
+
+
+def _maybe_ring_sdpa(q, k, v, scale):
+    """shard_map'd ring attention when the configured seq axis divides the
+    token dims; None => caller falls through to the single-device path."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from fmdm_tpu.parallel.sequence import ring_attention
+
+    mesh, axis, min_tokens = _SEQ_PARALLEL
+    n = mesh.shape[axis]
+    if n <= 1 or q.ndim < 3:
+        return None
+    t, s = q.shape[-2], k.shape[-2]
+    if t < min_tokens or t % n != 0 or s % n != 0:
+        return None  # e.g. short cross-attention context: stay local
+    # batch dim rides whatever data axis the surrounding program uses, so the
+    # boundary reshard is batch<->token all-to-all, not an all-gather
+    data_axes = tuple(a for a in mesh.axis_names if a != axis)
+    batch_part = None
+    for cand in (data_axes, data_axes[:1]):
+        size = math.prod(mesh.shape[a] for a in cand) if cand else 1
+        if cand and q.shape[0] % size == 0:
+            batch_part = cand if len(cand) > 1 else cand[0]
+            break
+    spec = P(batch_part, *([None] * (q.ndim - 3)), axis, None)
+    fn = jax.shard_map(
+        functools.partial(ring_attention, axis_name=axis, scale=scale),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+    )
+    return fn(q, k, v)
+
+
 def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: Optional[float] = None) -> jax.Array:
     """softmax(q kᵀ · scale) v over the last two dims; f32 accumulation.
 
@@ -66,6 +127,10 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: Optional[float] = N
 
     Inputs are (..., T, d) / (..., S, d) / (..., S, d_v).
     """
+    if _SEQ_PARALLEL is not None:
+        out = _maybe_ring_sdpa(q, k, v, scale)
+        if out is not None:
+            return out
     if (
         _SDPA_BACKEND == "pallas"
         and q.shape[-2] >= _PALLAS_MIN_TOKENS

@@ -66,8 +66,33 @@ def spans_processes(mesh: Optional[Mesh]) -> bool:
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dim across the mesh."""
+    """Shard the leading (batch) dim across the mesh.
+
+    On a dp x sp mesh the batch rides BOTH axes so convs/projections keep
+    full-device data parallelism; only attention reshards tokens onto the
+    'seq' axis (ops/attention.py sequence-parallel routing)."""
+    if "seq" in mesh.axis_names:
+        return NamedSharding(mesh, P((axis_name, "seq")))
     return NamedSharding(mesh, P(axis_name))
+
+
+def create_dp_sp_mesh(batch_size: int, sp: int, axis_name: str = "data") -> Mesh:
+    """dp x sp mesh for sequence-parallel attention (single-host): 'seq' is
+    the token ring axis; batch shards over (data, seq) jointly, so the
+    per-step batch must divide data*seq."""
+    devices = jax.local_devices()
+    n_dev = len(devices)
+    if n_dev % sp != 0:
+        raise ValueError(f"sequence_parallel={sp} must divide the device count {n_dev}")
+    n_data = n_dev // sp
+    while n_data > 1 and batch_size % (n_data * sp) != 0:
+        n_data -= 1
+    if batch_size % (n_data * sp) != 0:
+        raise ValueError(
+            f"batch_size={batch_size} must be divisible by sequence_parallel={sp} "
+            "(batch shards over the data x seq mesh)"
+        )
+    return Mesh(np.array(devices[: n_data * sp]).reshape(n_data, sp), (axis_name, "seq"))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -69,11 +69,17 @@ def ring_attention(
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     # jax.shard_map's varying-axes typing: literal-constant carries must be
-    # marked as varying over the manual axis so the fori_loop carry types
-    # match the (data-derived, hence varying) loop outputs
-    m0 = jax.lax.pvary(jnp.full(q.shape[:-1] + (1,), -jnp.inf, jnp.float32), axis_name)
-    l0 = jax.lax.pvary(jnp.zeros(q.shape[:-1] + (1,), jnp.float32), axis_name)
-    acc0 = jax.lax.pvary(jnp.zeros(q.shape[:-1] + (v.shape[-1],), jnp.float32), axis_name)
+    # marked as varying over the same manual axes as the (data-derived, hence
+    # varying) loop outputs — ALL axes q varies over, not just the ring axis
+    # (e.g. a dp x sp mesh adds 'data' to q's varying set via batch sharding).
+    try:
+        vma = tuple({*jax.typeof(q).vma, *jax.typeof(k).vma, *jax.typeof(v).vma}) or (axis_name,)
+    except Exception:  # pragma: no cover - eager/older tracing paths
+        vma = (axis_name,)
+    _vary = lambda x: jax.lax.pcast(x, vma, to="varying")
+    m0 = _vary(jnp.full(q.shape[:-1] + (1,), -jnp.inf, jnp.float32))
+    l0 = _vary(jnp.zeros(q.shape[:-1] + (1,), jnp.float32))
+    acc0 = _vary(jnp.zeros(q.shape[:-1] + (v.shape[-1],), jnp.float32))
 
     def body(i, carry):
         m, l, acc, k_cur, v_cur = carry

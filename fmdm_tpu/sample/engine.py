@@ -155,8 +155,15 @@ class SamplingEngine:
         # capability — off by default.
         self.deep_cache = tuple(deep_cache) if deep_cache else None
         # Optional data-parallel sampling: batch sharded over the mesh 'data'
-        # axis, params replicated; XLA partitions the whole scan SPMD.
+        # axis, params replicated; XLA partitions the whole scan SPMD. A mesh
+        # with a 'seq' axis additionally routes the UNet's attention through
+        # the ppermute ring (ops/attention.py sequence-parallel routing) —
+        # volumetric token counts whose scores outgrow one chip.
         self.mesh = mesh
+        if mesh is not None and "seq" in mesh.axis_names:
+            from fmdm_tpu.ops import attention as attention_ops
+
+            attention_ops.set_sequence_parallel(mesh, "seq")
         # bf16 model compute with f32 scheduler math: the UNet runs on the MXU
         # in bf16 (2x matmul throughput + half the HBM traffic on v5e); the
         # sample itself and all scheduler tables stay f32 so multistep solver

@@ -48,6 +48,19 @@ VARIANTS = {
 
 def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
           *, variant: str = "diffusion", max_steps_per_epoch: Optional[int] = None) -> Path:
+    try:
+        return _train_impl(dataset, json_path, val_dataset, resume,
+                           variant=variant, max_steps_per_epoch=max_steps_per_epoch)
+    finally:
+        # training.sequence_parallel installs process-global attention
+        # routing bound to the training mesh; never leak it past train()
+        from fmdm_tpu.ops import attention as attention_ops
+
+        attention_ops.clear_sequence_parallel()
+
+
+def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
+                *, variant: str = "diffusion", max_steps_per_epoch: Optional[int] = None) -> Path:
     spec = VARIANTS[variant]
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s", force=True)
     cfg = config_utils.load_json_config(json_path)
@@ -101,12 +114,27 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
             config_utils.save_json_config(cfg_path, cfg)
 
     tp = int(training_cfg.get("tensor_parallel", 1) or 1)
-    if jax.process_count() > 1 and (tp > 1 or bool(training_cfg.get("fsdp", False))):
+    sp = int(training_cfg.get("sequence_parallel", 1) or 1)
+    if jax.process_count() > 1 and (tp > 1 or sp > 1 or bool(training_cfg.get("fsdp", False))):
         raise ValueError(
-            "tensor_parallel/fsdp are single-host strategies here; multi-host "
-            "runs use the global data mesh (training.tensor_parallel=1, fsdp=false)."
+            "tensor_parallel/fsdp/sequence_parallel are single-host strategies "
+            "here; multi-host runs use the global data mesh."
         )
-    if tp > 1:
+    if sp > 1 and (tp > 1 or bool(training_cfg.get("fsdp", False))):
+        raise ValueError("sequence_parallel composes with plain DP only (set tensor_parallel=1, fsdp=false)")
+    if sp > 1:
+        # dp x sp mesh: batch shards over both axes for the convs; attention
+        # reshards tokens over 'seq' and runs the ppermute ring
+        # (parallel/sequence.py) — for volumetric token counts whose score
+        # tiles / K-V streams outgrow one chip.
+        from fmdm_tpu.ops import attention as attention_ops
+
+        mesh = mesh_lib.create_dp_sp_mesh(batch_size, sp)
+        attention_ops.set_sequence_parallel(
+            mesh, "seq", min_tokens=int(training_cfg.get("sequence_parallel_min_tokens", 512)))
+        _place_params = lambda p: mesh_lib.replicate(mesh, p)
+        _place_opt = lambda s, p: mesh_lib.replicate(mesh, s)
+    elif tp > 1:
         # dp x tp mesh: GSPMD output-channel sharding (parallel/tp.py); the
         # data axis is the largest batch divisor the remaining devices allow.
         from fmdm_tpu.parallel import tp as tp_lib
