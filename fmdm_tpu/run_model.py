@@ -66,6 +66,10 @@ _FLAG_SPEC = [
                                "(default) keeps the first/last denoise steps always-full, recovering "
                                "most of uniform caching's PSNR loss; 'uniform' is classic DeepCache. "
                                "Beyond-reference flag; omit for exact sampling.")),
+    ("--no_dp_sampling", dict(action="store_true",
+                              help="Disable automatic data-parallel sampling over local devices "
+                                   "(batch-sharded reverse-process scan; on by default when more "
+                                   "than one chip is visible). Beyond-reference flag.")),
 ]
 
 
@@ -111,10 +115,11 @@ def main() -> None:
 
     handler_kwargs = {name.lstrip("-"): getattr(args, name.lstrip("-"))
                       for name, _ in _FLAG_SPEC if name != "--mode"}
-    # engine-level runtime option, not part of the reference handler surface
-    from fmdm_tpu.sample.diffusion_utils import set_deep_cache
+    # engine-level runtime options, not part of the reference handler surface
+    from fmdm_tpu.sample.diffusion_utils import set_deep_cache, set_dp_sampling
 
     set_deep_cache(_parse_deep_cache(handler_kwargs.pop("deep_cache", None)))
+    set_dp_sampling(not handler_kwargs.pop("no_dp_sampling", False))
     handler = handler_cls(**handler_kwargs)
 
     # every mode maps 1:1 onto a handler method of the same name

@@ -151,6 +151,29 @@ def set_deep_cache(value: Optional[Tuple[int, int]]) -> None:
     _DEEP_CACHE = tuple(value) if value else None
 
 
+# Data-parallel sampling (beyond reference — the torch sampler is single-GPU,
+# src/pipelines/samplers/diffusion_like.py): batch-shard the reverse-process
+# scan over all local devices. Single-process only (a multi-host engine mesh
+# would deadlock rank-gated code paths); each batch size gets the largest
+# device count that divides it, so ragged final batches just use a smaller
+# mesh via the per-shape engine cache.
+_DP_SAMPLING = True
+
+
+def set_dp_sampling(enabled: bool) -> None:
+    global _DP_SAMPLING
+    _DP_SAMPLING = bool(enabled)
+
+
+def _sampling_mesh(batch_size: int):
+    if not _DP_SAMPLING or jax.process_count() != 1 or len(jax.local_devices()) <= 1:
+        return None
+    from fmdm_tpu.parallel.mesh import create_mesh_for_batch
+
+    mesh = create_mesh_for_batch(int(batch_size))
+    return mesh if mesh.devices.size > 1 else None
+
+
 def decode_diffusion_batch(
     model,
     params,
@@ -209,14 +232,16 @@ def decode_diffusion_batch(
         logging.warning("deep_cache requested but %s has no deep/shallow split; ignoring.",
                         model.__class__.__name__)
         deep_cache = None
+    mesh = _sampling_mesh(batch_shape[0])
     cache_key = (
         id(model), scheduler.__class__.__name__, tuple(np.asarray(timesteps).tolist()),
-        conditioning_mode, str(latent_norm), tuple(batch_shape), deep_cache,
+        conditioning_mode, str(latent_norm), tuple(batch_shape),
+        None if mesh is None else int(mesh.devices.size), deep_cache,
     )
     engine = _ENGINE_CACHE.get(cache_key)
     if engine is None:
         engine = SamplingEngine(model, scheduler, timesteps, conditioning_mode, latent_norm,
-                                deep_cache=deep_cache)
+                                deep_cache=deep_cache, mesh=mesh)
         _ENGINE_CACHE[cache_key] = engine
     cond = jnp.asarray(conditioning_batch) if conditioning_batch is not None else None
     return engine(params, tuple(batch_shape), rng_sample,

@@ -163,7 +163,8 @@ class SamplingEngine:
         if mesh is not None and "seq" in mesh.axis_names:
             from fmdm_tpu.ops import attention as attention_ops
 
-            attention_ops.set_sequence_parallel(mesh, "seq")
+            if attention_ops.get_sequence_parallel() is None:  # caller may pre-tune min_tokens
+                attention_ops.set_sequence_parallel(mesh, "seq")
         # bf16 model compute with f32 scheduler math: the UNet runs on the MXU
         # in bf16 (2x matmul throughput + half the HBM traffic on v5e); the
         # sample itself and all scheduler tables stay f32 so multistep solver

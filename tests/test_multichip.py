@@ -46,6 +46,75 @@ def test_data_parallel_sampling_matches_single_device():
     np.testing.assert_allclose(out_sharded, out_single, rtol=1e-5, atol=1e-5)
 
 
+def test_sequence_parallel_sampling_matches_single_device():
+    """SamplingEngine over a dp x sp mesh: the UNet's attention reshards
+    tokens onto 'seq' and runs the ppermute ring; samples must match the
+    single-device engine (same PRNG stream, f32)."""
+    from fmdm_tpu.models.factories import DiffusionUNetFactory
+    from fmdm_tpu.ops import attention as attention_ops
+    from fmdm_tpu.sample.engine import SamplingEngine
+    from fmdm_tpu.schedulers import DDIMScheduler
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    unet = {
+        "unet_impl": "diffusers_nd", "sample_size": 16, "in_channels": 1,
+        "out_channels": 1, "layers_per_block": 1, "block_out_channels": [8, 16],
+        "down_block_types": ["DownBlock2D", "AttnDownBlock2D"],
+        "up_block_types": ["AttnUpBlock2D", "UpBlock2D"], "norm_num_groups": 4,
+    }
+    model = DiffusionUNetFactory().build(unet, None, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    sched = DDIMScheduler.create(num_train_timesteps=50)
+    ts = sched.set_timesteps(5)
+
+    single = SamplingEngine(model, sched, ts)
+    out_single = np.asarray(single(params, (8, 1, 16, 16), jax.random.PRNGKey(7)))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "seq"))
+    try:
+        attention_ops.set_sequence_parallel(mesh, "seq", min_tokens=1)
+        sharded = SamplingEngine(model, sched, ts, mesh=mesh)
+        out_sharded = np.asarray(sharded(params, (8, 1, 16, 16), jax.random.PRNGKey(7)))
+    finally:
+        attention_ops.clear_sequence_parallel()
+    np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-4)
+
+
+def test_dp_sampling_decode_matches_disabled():
+    """decode_diffusion_batch auto-shards the reverse scan over local devices
+    (default-on, beyond reference); output matches the unsharded path and the
+    engine cache records the mesh size."""
+    from fmdm_tpu.models.factories import DiffusionUNetFactory
+    from fmdm_tpu.sample import diffusion_utils as du
+
+    unet = {
+        "unet_impl": "diffusers_nd", "sample_size": 16, "in_channels": 1,
+        "out_channels": 1, "layers_per_block": 1, "block_out_channels": [8, 8],
+        "down_block_types": ["DownBlock2D", "DownBlock2D"],
+        "up_block_types": ["UpBlock2D", "UpBlock2D"], "norm_num_groups": 4,
+    }
+    model = DiffusionUNetFactory().build(unet, None, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    training_cfg = {"num_train_timesteps": 50, "num_inference_steps": 5,
+                    "scheduler": "ddim", "conditioning": None}
+    shape = (8, 1, 16, 16)
+    try:
+        du.set_dp_sampling(False)
+        out_off = np.asarray(du.decode_diffusion_batch(
+            model, params, training_cfg, {}, shape, None, rng=jax.random.PRNGKey(3)))
+        du.set_dp_sampling(True)
+        out_on = np.asarray(du.decode_diffusion_batch(
+            model, params, training_cfg, {}, shape, None, rng=jax.random.PRNGKey(3)))
+    finally:
+        du.set_dp_sampling(True)
+    n_dev = len(jax.local_devices())
+    assert any(k[0] == id(model) and k[-2] == n_dev for k in du._ENGINE_CACHE), \
+        "DP engine must be cached with the mesh size"
+    np.testing.assert_allclose(out_on, out_off, rtol=1e-5, atol=1e-5)
+
+
 def test_gradients_are_globally_synced():
     """The whole point of the mesh DP train step: identical params after a
     step regardless of device count (the reference's DDP never syncs grads —
