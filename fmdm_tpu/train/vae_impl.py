@@ -113,6 +113,19 @@ def _merge_ema(trainable: dict, ema_state: Optional[dict]):
 
 def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
           *, max_steps_per_epoch: Optional[int] = None) -> Path:
+    try:
+        return _train_impl(dataset, json_path, val_dataset, resume,
+                           max_steps_per_epoch=max_steps_per_epoch)
+    finally:
+        # training.sequence_parallel installs process-global attention
+        # routing bound to the training mesh; never leak it past train()
+        from fmdm_tpu.ops import attention as attention_ops
+
+        attention_ops.clear_sequence_parallel()
+
+
+def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
+                *, max_steps_per_epoch: Optional[int] = None) -> Path:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s", force=True)
     cfg = config_utils.load_json_config(json_path)
     training_cfg = cfg["training"]
@@ -204,7 +217,27 @@ def train(dataset, json_path, val_dataset=None, resume: Optional[str] = None,
     disc_opt_state = disc_optimizer.init(disc_params) if discriminator else None
 
     tp = int(training_cfg.get("tensor_parallel", 1) or 1)
-    if tp > 1:
+    sp = int(training_cfg.get("sequence_parallel", 1) or 1)
+    if sp > 1 and tp > 1:
+        raise ValueError("sequence_parallel composes with plain DP only (set tensor_parallel=1)")
+    if sp > 1:
+        # dp x sp: batch rides both axes for the conv trunk; the VAE
+        # mid-block attention (1024 tokens at 256², more for volumes)
+        # reshards tokens onto 'seq' and runs the ppermute ring.
+        from fmdm_tpu.ops import attention as attention_ops
+
+        mesh = mesh_lib.create_dp_sp_mesh(batch_size, sp)
+        attention_ops.set_sequence_parallel(
+            mesh, "seq", min_tokens=int(training_cfg.get("sequence_parallel_min_tokens", 512)))
+        _place_gen = lambda p: mesh_lib.replicate(mesh, p)
+        _place_gen_opt = lambda s, p: mesh_lib.replicate(mesh, s)
+        gen_params = _place_gen(gen_params)
+        opt_state = _place_gen_opt(opt_state, gen_params)
+        ema_state = mesh_lib.replicate(mesh, ema_state)
+        if disc_params is not None:
+            disc_params = mesh_lib.replicate(mesh, disc_params)
+            disc_opt_state = mesh_lib.replicate(mesh, disc_opt_state)
+    elif tp > 1:
         # dp x tp (GSPMD output-channel sharding, parallel/tp.py) for both
         # the generator and the discriminator; EMA codebook state replicates.
         from fmdm_tpu.parallel import tp as tp_lib

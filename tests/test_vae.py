@@ -186,6 +186,31 @@ def _vae_cfg(tmp_path: Path, latent_type: str, extra_model=None, extra_training=
     return path
 
 
+def test_vae_train_sequence_parallel(tmp_path):
+    """training.sequence_parallel=2 on an attention VAE: dp x sp mesh, ring
+    attention in the mid-block, run completes with the context cleared."""
+    from tests.test_train_e2e import TinyMNIST
+    from fmdm_tpu.ops import attention as attention_ops
+    from fmdm_tpu.train.vae_lib import train
+    from fmdm_tpu.utils.checkpoint import load_checkpoint
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg_path = _vae_cfg(
+        tmp_path, "kl",
+        extra_model={"use_attention": True},
+        extra_training={"sequence_parallel": 2, "sequence_parallel_min_tokens": 1,
+                        "epochs": 1, "gan_weight": 0.0, "save_images": False},
+    )
+    ds = TinyMNIST(tmp_path / "data", train=True, img_size=32, n=16)
+    run_dir = train(ds, cfg_path)
+    assert attention_ops.get_sequence_parallel() is None, "context must not leak"
+    payload = load_checkpoint(run_dir / "vae_last.pt")
+    assert payload["epoch"] == 1
+    loss = float((run_dir / "metrics.csv").read_text().strip().splitlines()[1].split(",")[1])
+    assert np.isfinite(loss)
+
+
 @pytest.mark.parametrize("latent_type,extra", [
     ("kl", {}),
     ("vq", {"quantizer_type": "ema"}),
