@@ -62,6 +62,29 @@ def get_sequence_parallel():
     return _SEQ_PARALLEL
 
 
+class sequence_parallel_scope:
+    """Temporarily install ``ctx`` ((mesh, axis, min_tokens) or None) as the
+    sequence-parallel routing, restoring the previous value on exit.
+
+    Sampling engines use this so their traces see exactly the routing that
+    matches their own mesh — a trainer's process-global routing must not leak
+    into a probe/engine jitted over a different device set (shard_map over a
+    foreign mesh raises 'incompatible devices')."""
+
+    def __init__(self, ctx):
+        self._ctx = ctx
+
+    def __enter__(self):
+        global _SEQ_PARALLEL
+        self._prev = _SEQ_PARALLEL
+        _SEQ_PARALLEL = self._ctx
+
+    def __exit__(self, *exc):
+        global _SEQ_PARALLEL
+        _SEQ_PARALLEL = self._prev
+        return False
+
+
 def _maybe_ring_sdpa(q, k, v, scale):
     """shard_map'd ring attention when the configured seq axis divides the
     token dims; None => caller falls through to the single-device path."""

@@ -70,7 +70,9 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
     On a dp x sp mesh the batch rides BOTH axes so convs/projections keep
     full-device data parallelism; only attention reshards tokens onto the
-    'seq' axis (ops/attention.py sequence-parallel routing)."""
+    'seq' axis (ops/attention.py sequence-parallel routing). 'seq' is a
+    RESERVED axis name carrying that contract — don't name an unrelated mesh
+    axis 'seq'."""
     if "seq" in mesh.axis_names:
         return NamedSharding(mesh, P((axis_name, "seq")))
     return NamedSharding(mesh, P(axis_name))

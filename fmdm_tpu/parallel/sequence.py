@@ -12,7 +12,12 @@ hop i+1 can overlap the attention compute of hop i on ICI.
 Memory per device: O(T/n · d) activations and O(block_q · T/n) score tiles —
 nothing global to T. Exactness: the online-softmax recurrence is the same as
 flash attention's, so results match single-device SDPA to accumulation
-order.
+order. Each ring hop currently computes its chunk with the XLA einsum chain
+(materializing a (T/n × S/n) score tile per hop); fusing the Pallas flash
+kernel into the hop — it would need to expose its (m, l, acc) partials — is
+ROADMAP work, so at flash-eligible token counts compare one-chip flash vs
+ring before enabling sequence_parallel for speed alone (the ring's win is
+capacity: K/V streams and activations that outgrow one chip).
 
 Entry points
 - ``ring_attention(q, k, v, axis_name=...)`` — inside shard_map/pjit, local

@@ -160,11 +160,6 @@ class SamplingEngine:
         # the ppermute ring (ops/attention.py sequence-parallel routing) —
         # volumetric token counts whose scores outgrow one chip.
         self.mesh = mesh
-        if mesh is not None and "seq" in mesh.axis_names:
-            from fmdm_tpu.ops import attention as attention_ops
-
-            if attention_ops.get_sequence_parallel() is None:  # caller may pre-tune min_tokens
-                attention_ops.set_sequence_parallel(mesh, "seq")
         # bf16 model compute with f32 scheduler math: the UNet runs on the MXU
         # in bf16 (2x matmul throughput + half the HBM traffic on v5e); the
         # sample itself and all scheduler tables stay f32 so multistep solver
@@ -281,6 +276,26 @@ class SamplingEngine:
         init_sample: Optional[jax.Array] = None,
         timing: Optional[Dict[str, Any]] = None,
     ) -> jax.Array:
+        from fmdm_tpu.ops import attention as attention_ops
+
+        # Scope the attention routing to THIS engine's mesh for the whole
+        # call (tracing happens here, at lower() or first execution): a
+        # 'seq'-axis mesh engages the ring (honoring a caller-installed
+        # context for the same mesh, e.g. a tuned min_tokens); any other
+        # mesh — or none — must not inherit a trainer's process-global
+        # routing, which would shard_map over a foreign device set.
+        current_ctx = attention_ops.get_sequence_parallel()
+        if self.mesh is not None and "seq" in self.mesh.axis_names:
+            seq_ctx = (current_ctx if current_ctx is not None and current_ctx[0] == self.mesh
+                       else (self.mesh, "seq", 512))
+        else:
+            seq_ctx = None
+        with attention_ops.sequence_parallel_scope(seq_ctx):
+            return self._call_scoped(params, sample_shape, rng, conditioning_batch,
+                                     init_sample, timing)
+
+    def _call_scoped(self, params, sample_shape, rng, conditioning_batch,
+                     init_sample, timing) -> jax.Array:
         if self._jitted is None:
             self._jitted = self._build()
 

@@ -201,15 +201,24 @@ def save_checkpoint_with_mirrors(
 ) -> None:
     """Serialize ``state`` once to ``primary``, then hardlink-clone the file
     to each mirror path (last → best/epoch dedup). Orbax checkpoints are
-    directories, so the orbax backend falls back to independent saves."""
+    directories, so the orbax backend falls back to independent saves.
+
+    Async backends enqueue save+clones as ONE writer task: if the save
+    raises, the clones never run — otherwise a failed save would leave the
+    previous epoch's surviving primary hardlinked under this epoch's
+    best/epoch names."""
     backend = backend or get_checkpoint_backend()
-    save_checkpoint(state, primary, backend)
-    base, _, _suffix = backend.partition("_")
+    base, _, suffix = backend.partition("_")
+    if suffix == "async":
+        _PENDING.append(_writer().submit(
+            save_checkpoint_with_mirrors, state, primary, tuple(mirrors), base))
+        return
+    save_checkpoint(state, primary, base)
     for mirror in mirrors:
         if base == "orbax":
-            save_checkpoint(state, mirror, backend)
+            save_checkpoint(state, mirror, base)
         else:
-            clone_checkpoint(primary, mirror, backend)
+            clone_checkpoint(primary, mirror, base)
 
 
 def load_checkpoint(path) -> Dict[str, Any]:

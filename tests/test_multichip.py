@@ -82,6 +82,44 @@ def test_sequence_parallel_sampling_matches_single_device():
     np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-4)
 
 
+def test_engine_isolated_from_foreign_seq_context():
+    """A trainer's process-global sequence-parallel routing must NOT leak into
+    an engine jitted over a different device set (e.g. the rank-0 visual
+    probe's 5-device DP-sampling mesh while training runs dp x sp over 8):
+    the engine scopes the routing to its own mesh for the whole call."""
+    from fmdm_tpu.models.factories import DiffusionUNetFactory
+    from fmdm_tpu.ops import attention as attention_ops
+    from fmdm_tpu.sample.engine import SamplingEngine
+    from fmdm_tpu.schedulers import DDIMScheduler
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    unet = {
+        "unet_impl": "diffusers_nd", "sample_size": 16, "in_channels": 1,
+        "out_channels": 1, "layers_per_block": 1, "block_out_channels": [8, 16],
+        "down_block_types": ["DownBlock2D", "AttnDownBlock2D"],
+        "up_block_types": ["AttnUpBlock2D", "UpBlock2D"], "norm_num_groups": 4,
+    }
+    model = DiffusionUNetFactory().build(unet, None, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    sched = DDIMScheduler.create(num_train_timesteps=50)
+    ts = sched.set_timesteps(3)
+
+    train_mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "seq"))
+    probe_mesh = create_mesh(5)  # deliberately incompatible with the 8-dev dp x sp
+    try:
+        attention_ops.set_sequence_parallel(train_mesh, "seq", min_tokens=1)
+        probe = SamplingEngine(model, sched, ts, mesh=probe_mesh)
+        out = np.asarray(probe(params, (5, 1, 16, 16), jax.random.PRNGKey(1)))
+        assert np.all(np.isfinite(out))
+        # the trainer's routing survives the engine call untouched
+        ctx = attention_ops.get_sequence_parallel()
+        assert ctx is not None and ctx[0] == train_mesh and ctx[2] == 1
+    finally:
+        attention_ops.clear_sequence_parallel()
+
+
 def test_dp_sampling_decode_matches_disabled():
     """decode_diffusion_batch auto-shards the reverse scan over local devices
     (default-on, beyond reference); output matches the unsharded path and the
