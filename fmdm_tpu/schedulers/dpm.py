@@ -67,6 +67,13 @@ class DPMSolverMultistepScheduler(Scheduler):
             raise ValueError(f"Unknown algorithm_type '{algorithm_type}'")
         if solver_order == 3 and algorithm_type == "sde-dpmsolver++":
             raise ValueError("sde-dpmsolver++ supports solver_order <= 2 (as in diffusers)")
+        if thresholding and algorithm_type == "dpmsolver":
+            # diffusers raises here too: thresholding operates on predicted x0,
+            # which the eps-space 'dpmsolver' update never consumes — accepting
+            # the flag would silently produce unthresholded samples.
+            raise ValueError(
+                "thresholding=True does not work with algorithm_type 'dpmsolver' "
+                "(diffusers parity); use 'dpmsolver++'")
         betas = make_beta_schedule(beta_schedule, num_train_timesteps, beta_start, beta_end)
         alphas_cumprod = np.cumprod(1.0 - betas)
         return cls(

@@ -84,6 +84,13 @@ def test_invalid_configs_rejected_at_create():
         UniPCMultistepScheduler.create(solver_order=0)
     with pytest.raises(ValueError, match="solver_type"):
         UniPCMultistepScheduler.create(solver_type="bh3")
+    # diffusers parity: thresholding operates on predicted x0, which the
+    # eps-space 'dpmsolver' update never consumes — diffusers raises, so do we
+    # (accepting it would silently return unthresholded samples).
+    with pytest.raises(ValueError, match="thresholding"):
+        DPMSolverMultistepScheduler.create(algorithm_type="dpmsolver", thresholding=True)
+    # ...but 'dpmsolver++' with thresholding is the supported combination.
+    DPMSolverMultistepScheduler.create(algorithm_type="dpmsolver++", thresholding=True)
 
 
 def test_build_scheduler_config_surface_order3():
