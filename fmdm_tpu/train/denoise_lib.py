@@ -340,10 +340,15 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
             )
 
         current_metric = avg_loss
-        improved = current_metric < best_metric
-        best_metric = min(best_metric, current_metric)
+        # "best" is tracked at checkpoint granularity: lowering best_metric on
+        # an unsaved off-cadence epoch would leave {prefix}_best.pt
+        # permanently stale (a later epoch beating every SAVED state would
+        # fail the improved test against an unsaved minimum).
+        improved = False
         state = None
         if epoch % checkpoint_every == 0 or epoch == epochs:
+            improved = current_metric < best_metric
+            best_metric = min(best_metric, current_metric)
             # mesh_lib.to_host gathers globally sharded (multi-process FSDP)
             # leaves before the numpy conversion
             state = {

@@ -554,10 +554,15 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
             )
 
         current_metric = val_avg["loss"] if val_avg is not None else averaged["loss"]
-        improved = current_metric < best_metric
-        best_metric = min(best_metric, current_metric)
+        # "best" is tracked at checkpoint granularity: lowering best_metric on
+        # a gathered-but-unsaved off-cadence epoch would leave vae_best.pt
+        # permanently stale (a later epoch beating every SAVED state would
+        # fail the improved test against an unsaved minimum).
+        improved = False
         state = None
         if epoch % checkpoint_every == 0 or epoch == epochs:
+            improved = current_metric < best_metric
+            best_metric = min(best_metric, current_metric)
             full_params = _merge_ema(gen_params, ema_state)
             state = {
                 "model": mesh_lib.to_host(full_params),

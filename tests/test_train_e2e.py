@@ -166,3 +166,13 @@ def test_checkpoint_every_epochs_gates_saves(tmp_path):
     payload = load_checkpoint(run_dir / "diff_last.pt")
     assert payload["epoch"] == 3
     assert (run_dir / "diff_best.pt").exists()
+    # "best" is tracked at checkpoint granularity: diff_best.pt must hold a
+    # gathered (cadence or final) epoch, and the recorded best_metric must be
+    # achievable by a SAVED state — never a minimum from an unsaved off-epoch
+    # (which would leave diff_best.pt permanently stale).
+    best_payload = load_checkpoint(run_dir / "diff_best.pt")
+    assert best_payload["epoch"] % 2 == 0 or best_payload["epoch"] == 3
+    rows = (run_dir / "metrics.csv").read_text().strip().splitlines()[1:]
+    losses = {int(r.split(",")[0]): float(r.split(",")[1]) for r in rows}
+    gathered = [losses[e] for e in (2, 3)]
+    assert best_payload["best_metric"] == pytest.approx(min(gathered), rel=1e-6)
