@@ -242,7 +242,14 @@ def _flash_backward_pallas(q, k, v, out, lse, g, scale, block_q, block_k):
 
 def _flash_bwd_rule(scale, block_q, block_k, res, g):
     q, k, v, out, lse = res
-    if _FLASH_BWD == "pallas":
+    # The Pallas bwd kernels build probability tiles via
+    # jnp.tile(lse, (1, block_k // _LANES)), so they require
+    # block_k % 128 == 0. The forward accepts any KV length <= block_k
+    # (block_k_eff = tk), e.g. cross-attention contexts of length 77/320 —
+    # those shapes must take the XLA formulation here, not crash at grad
+    # trace (ADVICE r3: the failure would occur inside the custom_vjp bwd
+    # rule, outside sdpa()'s try/except fallback).
+    if _FLASH_BWD == "pallas" and block_k % _LANES == 0:
         return _flash_backward_pallas(q, k, v, out, lse, g, scale, block_q, block_k)
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)

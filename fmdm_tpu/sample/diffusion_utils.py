@@ -138,6 +138,29 @@ def encode_diffusion_batch(scheduler, targets: jax.Array, timesteps: jax.Array,
 
 _ENGINE_CACHE: Dict[Tuple, SamplingEngine] = {}
 
+
+def _scheduler_fingerprint(scheduler) -> Tuple:
+    """Hashable view of a scheduler's config (ADVICE r3: two same-class,
+    same-timesteps schedulers can differ via '?param=value' overrides like
+    dpmsolver++?thresholding=true; keying the engine cache on the class name
+    alone would silently reuse the first engine's scheduler)."""
+    import dataclasses as _dc
+
+    if not _dc.is_dataclass(scheduler):
+        return (id(scheduler),)
+    items = []
+    for f in _dc.fields(scheduler):
+        v = getattr(scheduler, f.name)
+        if isinstance(v, (int, float, str, bool, frozenset, tuple, type(None))):
+            items.append((f.name, v))
+        else:
+            # derived numpy tables: shape/dtype suffices — their values are a
+            # function of the scalar fields already in the key
+            items.append((f.name, (type(v).__name__,
+                                   tuple(getattr(v, "shape", ()) or ()),
+                                   str(getattr(v, "dtype", "")))))
+    return tuple(items)
+
 # Runtime DeepCache setting for the eval/sampling surface (run_model
 # --deep_cache): (interval, depth) or None. Module-level like
 # attention.set_sdpa_backend — the eval call chain is the reference's
@@ -234,7 +257,8 @@ def decode_diffusion_batch(
         deep_cache = None
     mesh = _sampling_mesh(batch_shape[0])
     cache_key = (
-        id(model), scheduler.__class__.__name__, tuple(np.asarray(timesteps).tolist()),
+        id(model), scheduler.__class__.__name__, _scheduler_fingerprint(scheduler),
+        tuple(np.asarray(timesteps).tolist()),
         conditioning_mode, str(latent_norm), tuple(batch_shape),
         None if mesh is None else int(mesh.devices.size), deep_cache,
     )

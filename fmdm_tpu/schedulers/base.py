@@ -69,6 +69,82 @@ def spaced_timesteps_linspace(num_train: int, num_inference: int) -> np.ndarray:
     )
 
 
+def spaced_timesteps_trailing(num_train: int, num_inference: int) -> np.ndarray:
+    """'trailing' spacing (diffusers): descending from num_train-1."""
+    step_ratio = num_train / num_inference
+    t = np.arange(num_train, 0, -step_ratio).round().astype(np.int64) - 1
+    return t.copy()
+
+
+def spaced_timesteps(
+    spacing: str, num_train: int, num_inference: int, steps_offset: int = 0,
+    linspace_endpoint: bool = False,
+) -> np.ndarray:
+    """Dispatch on diffusers `timestep_spacing`; `steps_offset` applies to
+    'leading' only (diffusers semantics: linspace/trailing ignore it).
+
+    diffusers has TWO 'linspace' conventions: DPM-Solver/UniPC sample n+1
+    points and drop the last; DDPM/DDIM sample n points including the
+    endpoint (`linspace_endpoint=True`)."""
+    if spacing == "linspace":
+        if linspace_endpoint:
+            return np.linspace(0, num_train - 1, num_inference).round()[::-1].copy().astype(np.int64)
+        return spaced_timesteps_linspace(num_train, num_inference)
+    if spacing == "leading":
+        return spaced_timesteps_leading(num_train, num_inference) + int(steps_offset)
+    if spacing == "trailing":
+        return spaced_timesteps_trailing(num_train, num_inference)
+    raise ValueError(
+        f"Unknown timestep_spacing '{spacing}' (diffusers surface: "
+        f"linspace, leading, trailing)")
+
+
+def karras_sigmas(sigma_min: float, sigma_max: float, num_inference: int,
+                  rho: float = 7.0) -> np.ndarray:
+    """Karras et al. (2022) noise schedule (diffusers `_convert_to_karras`):
+    rho-space ramp from sigma_max down to sigma_min, float64 host-side."""
+    ramp = np.linspace(0, 1, num_inference)
+    min_inv_rho = sigma_min ** (1 / rho)
+    max_inv_rho = sigma_max ** (1 / rho)
+    return (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
+
+
+def sigma_to_t(sigmas: np.ndarray, log_sigmas: np.ndarray) -> np.ndarray:
+    """Continuous timestep for each sigma by log-space interpolation into the
+    training sigma table (diffusers `_sigma_to_t`), vectorized."""
+    log_sigma = np.log(np.maximum(sigmas, 1e-10))  # (n,)
+    dists = log_sigma[None, :] - log_sigmas[:, None]  # (N, n)
+    low_idx = np.cumsum((dists >= 0), axis=0).argmax(axis=0).clip(
+        max=log_sigmas.shape[0] - 2)
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = np.clip((low - log_sigma) / (low - high), 0, 1)
+    return (1 - w) * low_idx + w * high_idx
+
+
+def check_unimplemented_kwargs(name: str, extra: Dict[str, Any],
+                               recognized: frozenset) -> None:
+    """The reference passes any config key matching the diffusers ctor
+    signature straight into diffusers, where it CHANGES NUMERICS
+    (/root/reference/src/pipelines/utils.py:55-62). A key we recognize from
+    that surface but have not implemented must therefore fail LOUDLY — a
+    config carrying it would otherwise run and silently produce different
+    samples. Keys diffusers itself would not accept are dropped with a
+    warning (the reference's signature filter drops them silently)."""
+    import logging
+
+    for key in extra:
+        if key in recognized:
+            raise NotImplementedError(
+                f"{name}: diffusers parameter '{key}' is recognized but not "
+                f"implemented here; refusing to run with silently different "
+                f"numerics. Drop the key or use an implemented knob.")
+        logging.warning(
+            "%s: ignoring unknown scheduler parameter '%s' (not part of the "
+            "diffusers ctor surface; the reference would drop it silently)",
+            name, key)
+
+
 @dataclasses.dataclass(frozen=True)
 class Scheduler:
     """Base scheduler; concrete schedulers are frozen dataclasses with numpy

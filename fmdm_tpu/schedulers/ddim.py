@@ -14,9 +14,14 @@ import numpy as np
 
 from fmdm_tpu.schedulers.base import (
     Scheduler,
+    check_unimplemented_kwargs,
+    dynamic_threshold,
     make_beta_schedule,
-    spaced_timesteps_leading,
+    spaced_timesteps,
 )
+
+# diffusers.DDIMScheduler ctor params recognized but NOT implemented
+_UNIMPLEMENTED = frozenset({"trained_betas", "rescale_betas_zero_snr"})
 
 
 @dataclasses.dataclass(frozen=True)
@@ -29,6 +34,11 @@ class DDIMScheduler(Scheduler):
     prediction_type: str = "epsilon"
     eta: float = 0.0
     use_clipped_model_output: bool = False
+    thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    sample_max_value: float = 1.0
+    timestep_spacing: str = "leading"
+    steps_offset: int = 0
     num_inference_steps: Optional[int] = None
 
     @classmethod
@@ -44,8 +54,16 @@ class DDIMScheduler(Scheduler):
         prediction_type: str = "epsilon",
         eta: float = 0.0,
         use_clipped_model_output: bool = False,
-        **_unused,
+        thresholding: bool = False,
+        dynamic_thresholding_ratio: float = 0.995,
+        sample_max_value: float = 1.0,
+        timestep_spacing: str = "leading",
+        steps_offset: int = 0,
+        **extra,
     ) -> "DDIMScheduler":
+        check_unimplemented_kwargs(cls.__name__, extra, _UNIMPLEMENTED)
+        if timestep_spacing not in ("linspace", "leading", "trailing"):
+            raise ValueError(f"Unknown timestep_spacing '{timestep_spacing}'")
         betas = make_beta_schedule(beta_schedule, num_train_timesteps, beta_start, beta_end)
         alphas_cumprod = np.cumprod(1.0 - betas)
         final = 1.0 if set_alpha_to_one else float(alphas_cumprod[0])
@@ -58,6 +76,11 @@ class DDIMScheduler(Scheduler):
             prediction_type=prediction_type,
             eta=eta,
             use_clipped_model_output=use_clipped_model_output,
+            thresholding=thresholding,
+            dynamic_thresholding_ratio=dynamic_thresholding_ratio,
+            sample_max_value=sample_max_value,
+            timestep_spacing=timestep_spacing,
+            steps_offset=steps_offset,
         )
 
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
@@ -67,7 +90,9 @@ class DDIMScheduler(Scheduler):
 
     def set_timesteps(self, num_inference_steps: int) -> np.ndarray:
         object.__setattr__(self, "num_inference_steps", num_inference_steps)
-        return spaced_timesteps_leading(self.num_train_timesteps, num_inference_steps)
+        return spaced_timesteps(
+            self.timestep_spacing, self.num_train_timesteps,
+            num_inference_steps, self.steps_offset, linspace_endpoint=True)
 
     @property
     def needs_noise(self) -> bool:
@@ -108,7 +133,11 @@ class DDIMScheduler(Scheduler):
         else:
             raise ValueError(f"Unknown prediction_type '{self.prediction_type}'")
 
-        if self.clip_sample:
+        if self.thresholding:
+            # diffusers order: thresholding takes precedence over clip_sample
+            pred_x0 = dynamic_threshold(pred_x0, self.dynamic_thresholding_ratio,
+                                        self.sample_max_value)
+        elif self.clip_sample:
             pred_x0 = jnp.clip(pred_x0, -self.clip_sample_range, self.clip_sample_range)
         if self.use_clipped_model_output:
             # diffusers only re-derives eps from the (possibly clipped) x0 when

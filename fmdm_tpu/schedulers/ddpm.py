@@ -16,9 +16,14 @@ import numpy as np
 from fmdm_tpu.schedulers.base import (
     Scheduler,
     broadcast_to_sample,
+    check_unimplemented_kwargs,
+    dynamic_threshold,
     make_beta_schedule,
-    spaced_timesteps_leading,
+    spaced_timesteps,
 )
+
+# diffusers.DDPMScheduler ctor params recognized but NOT implemented
+_UNIMPLEMENTED = frozenset({"trained_betas", "rescale_betas_zero_snr"})
 
 
 @dataclasses.dataclass(frozen=True)
@@ -30,6 +35,11 @@ class DDPMScheduler(Scheduler):
     clip_sample_range: float = 1.0
     variance_type: str = "fixed_small"
     prediction_type: str = "epsilon"
+    thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    sample_max_value: float = 1.0
+    timestep_spacing: str = "leading"
+    steps_offset: int = 0
     num_inference_steps: Optional[int] = None
 
     @classmethod
@@ -43,8 +53,24 @@ class DDPMScheduler(Scheduler):
         clip_sample_range: float = 1.0,
         variance_type: str = "fixed_small",
         prediction_type: str = "epsilon",
-        **_unused,
+        thresholding: bool = False,
+        dynamic_thresholding_ratio: float = 0.995,
+        sample_max_value: float = 1.0,
+        timestep_spacing: str = "leading",
+        steps_offset: int = 0,
+        **extra,
     ) -> "DDPMScheduler":
+        check_unimplemented_kwargs(cls.__name__, extra, _UNIMPLEMENTED)
+        if variance_type not in ("fixed_small", "fixed_large"):
+            # diffusers also accepts fixed_small_log / fixed_large_log /
+            # learned / learned_range — recognized values we have not
+            # implemented; same loud-failure policy as unknown kwargs.
+            raise NotImplementedError(
+                f"DDPMScheduler: variance_type '{variance_type}' is part of "
+                f"the diffusers surface but not implemented here; use "
+                f"'fixed_small' or 'fixed_large'")
+        if timestep_spacing not in ("linspace", "leading", "trailing"):
+            raise ValueError(f"Unknown timestep_spacing '{timestep_spacing}'")
         betas = make_beta_schedule(beta_schedule, num_train_timesteps, beta_start, beta_end)
         alphas_cumprod = np.cumprod(1.0 - betas)
         return cls(
@@ -55,6 +81,11 @@ class DDPMScheduler(Scheduler):
             clip_sample_range=clip_sample_range,
             variance_type=variance_type,
             prediction_type=prediction_type,
+            thresholding=thresholding,
+            dynamic_thresholding_ratio=dynamic_thresholding_ratio,
+            sample_max_value=sample_max_value,
+            timestep_spacing=timestep_spacing,
+            steps_offset=steps_offset,
         )
 
     # -- forward process ----------------------------------------------------
@@ -67,7 +98,9 @@ class DDPMScheduler(Scheduler):
     # -- reverse process ------------------------------------------------------
     def set_timesteps(self, num_inference_steps: int) -> np.ndarray:
         object.__setattr__(self, "num_inference_steps", num_inference_steps)
-        return spaced_timesteps_leading(self.num_train_timesteps, num_inference_steps)
+        return spaced_timesteps(
+            self.timestep_spacing, self.num_train_timesteps,
+            num_inference_steps, self.steps_offset, linspace_endpoint=True)
 
     @property
     def needs_noise(self) -> bool:
@@ -109,7 +142,11 @@ class DDPMScheduler(Scheduler):
         else:
             raise ValueError(f"Unknown prediction_type '{self.prediction_type}'")
 
-        if self.clip_sample:
+        if self.thresholding:
+            # diffusers order: thresholding takes precedence over clip_sample
+            pred_x0 = dynamic_threshold(pred_x0, self.dynamic_thresholding_ratio,
+                                        self.sample_max_value)
+        elif self.clip_sample:
             pred_x0 = jnp.clip(pred_x0, -self.clip_sample_range, self.clip_sample_range)
 
         pred_x0_coeff = jnp.sqrt(alpha_prod_prev) * current_beta / beta_prod_t

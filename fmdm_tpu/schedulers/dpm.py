@@ -22,9 +22,21 @@ import numpy as np
 
 from fmdm_tpu.schedulers.base import (
     Scheduler,
+    check_unimplemented_kwargs,
+    karras_sigmas,
     make_beta_schedule,
-    spaced_timesteps_linspace,
+    sigma_to_t,
+    spaced_timesteps,
 )
+
+# diffusers.DPMSolverMultistepScheduler ctor params we recognize but have NOT
+# implemented — create() refuses them loudly (reference semantics would pass
+# them into diffusers and change numerics, pipelines/utils.py:55-62).
+_UNIMPLEMENTED = frozenset({
+    "trained_betas", "use_lu_lambdas", "use_exponential_sigmas",
+    "use_beta_sigmas", "use_flow_sigmas", "flow_shift", "lambda_min_clipped",
+    "variance_type", "rescale_betas_zero_snr",
+})
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,14 +45,25 @@ class DPMSolverMultistepScheduler(Scheduler):
     alphas_cumprod: np.ndarray = None
     solver_order: int = 2
     algorithm_type: str = "dpmsolver++"
+    solver_type: str = "midpoint"
     prediction_type: str = "epsilon"
     lower_order_final: bool = True
+    euler_at_final: bool = False
     clip_sample: bool = False
     clip_sample_range: float = 1.0
     thresholding: bool = False
     dynamic_thresholding_ratio: float = 0.995
     sample_max_value: float = 1.0
+    use_karras_sigmas: bool = False
+    timestep_spacing: str = "linspace"
+    steps_offset: int = 0
+    # None -> diffusers-compatible auto: "zero" for the x0-space algorithms,
+    # "sigma_min" for eps-space 'dpmsolver' (which rejects zero)
+    final_sigmas_type: Optional[str] = None
     num_inference_steps: Optional[int] = None
+    # stash filled by set_timesteps when use_karras_sigmas (per-step sigmas are
+    # no longer a pure function of the integer timesteps)
+    _karras_sigmas: Optional[np.ndarray] = None
 
     @classmethod
     def create(
@@ -51,20 +74,33 @@ class DPMSolverMultistepScheduler(Scheduler):
         beta_schedule: str = "linear",
         solver_order: int = 2,
         algorithm_type: str = "dpmsolver++",
+        solver_type: str = "midpoint",
         prediction_type: str = "epsilon",
         lower_order_final: bool = True,
+        euler_at_final: bool = False,
         clip_sample: bool = False,
         clip_sample_range: float = 1.0,
         thresholding: bool = False,
         dynamic_thresholding_ratio: float = 0.995,
         sample_max_value: float = 1.0,
-        **_unused,
+        use_karras_sigmas: bool = False,
+        timestep_spacing: str = "linspace",
+        steps_offset: int = 0,
+        final_sigmas_type: Optional[str] = None,
+        **extra,
     ) -> "DPMSolverMultistepScheduler":
+        check_unimplemented_kwargs(cls.__name__, extra, _UNIMPLEMENTED)
         if solver_order not in (1, 2, 3):
             raise ValueError(
                 f"solver_order must be 1, 2 or 3 (diffusers surface); got {solver_order}")
         if algorithm_type not in ("dpmsolver", "dpmsolver++", "sde-dpmsolver++"):
             raise ValueError(f"Unknown algorithm_type '{algorithm_type}'")
+        if solver_type not in ("midpoint", "heun"):
+            raise ValueError(
+                f"solver_type must be 'midpoint' or 'heun' (diffusers surface); "
+                f"got '{solver_type}'")
+        if timestep_spacing not in ("linspace", "leading", "trailing"):
+            raise ValueError(f"Unknown timestep_spacing '{timestep_spacing}'")
         if solver_order == 3 and algorithm_type == "sde-dpmsolver++":
             raise ValueError("sde-dpmsolver++ supports solver_order <= 2 (as in diffusers)")
         if thresholding and algorithm_type == "dpmsolver":
@@ -74,6 +110,15 @@ class DPMSolverMultistepScheduler(Scheduler):
             raise ValueError(
                 "thresholding=True does not work with algorithm_type 'dpmsolver' "
                 "(diffusers parity); use 'dpmsolver++'")
+        if final_sigmas_type is not None:
+            if final_sigmas_type not in ("zero", "sigma_min"):
+                raise ValueError(f"Unknown final_sigmas_type '{final_sigmas_type}'")
+            if final_sigmas_type == "zero" and algorithm_type == "dpmsolver":
+                # diffusers: `final_sigmas_type zero is not supported for
+                # algorithm_type dpmsolver` (lambda(0) is -inf in eps space)
+                raise ValueError(
+                    "final_sigmas_type='zero' is not supported with "
+                    "algorithm_type 'dpmsolver' (diffusers parity)")
         betas = make_beta_schedule(beta_schedule, num_train_timesteps, beta_start, beta_end)
         alphas_cumprod = np.cumprod(1.0 - betas)
         return cls(
@@ -81,13 +126,19 @@ class DPMSolverMultistepScheduler(Scheduler):
             alphas_cumprod=alphas_cumprod,
             solver_order=solver_order,
             algorithm_type=algorithm_type,
+            solver_type=solver_type,
             prediction_type=prediction_type,
             lower_order_final=lower_order_final,
+            euler_at_final=euler_at_final,
             clip_sample=clip_sample,
             clip_sample_range=clip_sample_range,
             thresholding=thresholding,
             dynamic_thresholding_ratio=dynamic_thresholding_ratio,
             sample_max_value=sample_max_value,
+            use_karras_sigmas=use_karras_sigmas,
+            timestep_spacing=timestep_spacing,
+            steps_offset=steps_offset,
+            final_sigmas_type=final_sigmas_type,
         )
 
     @property
@@ -103,7 +154,25 @@ class DPMSolverMultistepScheduler(Scheduler):
     # -- reverse process -------------------------------------------------------
     def set_timesteps(self, num_inference_steps: int) -> np.ndarray:
         object.__setattr__(self, "num_inference_steps", num_inference_steps)
-        return spaced_timesteps_linspace(self.num_train_timesteps, num_inference_steps)
+        timesteps = spaced_timesteps(
+            self.timestep_spacing, self.num_train_timesteps,
+            num_inference_steps, self.steps_offset)
+        if self.use_karras_sigmas:
+            # diffusers: replace the table sigmas at the spaced timesteps by a
+            # Karras rho-7 ramp between the SELECTED schedule's extremes, then
+            # map each Karras sigma back to a (rounded) integer timestep for
+            # model conditioning. The continuous sigmas are stashed — step()
+            # must use them, not the table values at the rounded timesteps.
+            acp = np.asarray(self.alphas_cumprod, np.float64)
+            all_sigmas = np.sqrt((1.0 - acp) / acp)
+            log_sigmas = np.log(all_sigmas)
+            sel = all_sigmas[timesteps]  # descending in sigma
+            sigmas = karras_sigmas(float(sel[-1]), float(sel[0]), num_inference_steps)
+            timesteps = sigma_to_t(sigmas, log_sigmas).round().astype(np.int64)
+            object.__setattr__(self, "_karras_sigmas", sigmas)
+        else:
+            object.__setattr__(self, "_karras_sigmas", None)
+        return timesteps
 
     def init_state(self, timesteps: np.ndarray, sample: Optional[jax.Array] = None) -> Dict[str, Any]:
         if sample is None:
@@ -116,15 +185,34 @@ class DPMSolverMultistepScheduler(Scheduler):
             state["prev_m2"] = jnp.zeros(sample.shape, jnp.float32)
         return state
 
-    def _sigmas_for(self, timesteps: jax.Array) -> jax.Array:
-        """Karras-style sigma per selected timestep + trailing final sigma.
+    def _final_sigmas_type_resolved(self) -> str:
+        if self.final_sigmas_type is not None:
+            return self.final_sigmas_type
+        # diffusers default is "zero", but it rejects zero for the eps-space
+        # 'dpmsolver' (0*inf); the reference's dpmsolver1/2 aliases therefore
+        # run with sigma_min.
+        return "sigma_min" if self.algorithm_type == "dpmsolver" else "zero"
 
-        final sigma is 0 for x0-space algorithms (diffusers final_sigmas_type
-        'zero'); the eps-space 'dpmsolver' needs sigma_min (0·inf otherwise,
-        matching diffusers' refusal of zero for that algorithm)."""
-        acp = jnp.asarray(self.alphas_cumprod, dtype=jnp.float32)[timesteps]
-        sigmas = jnp.sqrt((1.0 - acp) / acp)
-        if self.algorithm_type == "dpmsolver":
+    def _sigmas_for(self, timesteps: jax.Array) -> jax.Array:
+        """Per-selected-timestep sigma + trailing final sigma.
+
+        With use_karras_sigmas the per-step sigmas are the continuous Karras
+        ramp stashed by set_timesteps (NOT the table values at the rounded
+        timesteps); slicing (start_step/last_n_steps) keeps a SUFFIX of the
+        schedule, so the stash is aligned by trailing length."""
+        if self.use_karras_sigmas:
+            if self._karras_sigmas is None:
+                raise ValueError(
+                    "use_karras_sigmas requires set_timesteps() before step()")
+            n_passed = int(timesteps.shape[0])
+            stored = np.asarray(self._karras_sigmas, np.float32)
+            if n_passed > stored.shape[0]:
+                raise ValueError("timesteps longer than the Karras schedule")
+            sigmas = jnp.asarray(stored[stored.shape[0] - n_passed:], jnp.float32)
+        else:
+            acp = jnp.asarray(self.alphas_cumprod, dtype=jnp.float32)[timesteps]
+            sigmas = jnp.sqrt((1.0 - acp) / acp)
+        if self._final_sigmas_type_resolved() == "sigma_min":
             a0 = jnp.float32(self.alphas_cumprod[0])
             final = jnp.sqrt((1.0 - a0) / a0)[None]
         else:
@@ -202,16 +290,24 @@ class DPMSolverMultistepScheduler(Scheduler):
         D0 = m0
         D1 = (m0 - prev_m) / jnp.where(r0 == 0, 1.0, r0)
 
+        heun = self.solver_type == "heun"
+        safe_h2 = jnp.where(h == 0, 1.0, h)
         if self.algorithm_type == "dpmsolver++":
-            # x_t = (sigma_t/sigma_s0) x - alpha_t (e^{-h} - 1) D0 [- 0.5 alpha_t (e^{-h}-1) D1]
+            # x_t = (sigma_t/sigma_s0) x - alpha_t (e^{-h} - 1) D0
+            #   midpoint: - 0.5 alpha_t (e^{-h}-1) D1
+            #   heun:     + alpha_t ((e^{-h}-1)/h + 1) D1
             ratio = sigma_t_ / safe(sigma_s0_)
             phi = jnp.expm1(-h)
             first = ratio * x32 - alpha_t * phi * D0
-            second = first - 0.5 * alpha_t * phi * D1
+            if heun:
+                second = first + alpha_t * (phi / safe_h2 + 1.0) * D1
+            else:
+                second = first - 0.5 * alpha_t * phi * D1
         elif self.algorithm_type == "sde-dpmsolver++":
-            # Stochastic DPM-Solver++ (midpoint), one model eval per step:
-            # x_t = (σ_t/σ_s0) e^{-h} x + α_t(1-e^{-2h}) D0 [+ 0.5 α_t(1-e^{-2h}) D1]
-            #       + σ_t √(1-e^{-2h}) ξ
+            # Stochastic DPM-Solver++, one model eval per step:
+            # x_t = (σ_t/σ_s0) e^{-h} x + α_t(1-e^{-2h}) D0 + σ_t √(1-e^{-2h}) ξ
+            #   midpoint: + 0.5 α_t(1-e^{-2h}) D1
+            #   heun:     + α_t((1-e^{-2h})/(-2h) + 1) D1
             if rng is None:
                 raise ValueError("sde-dpmsolver++ requires an rng key.")
             ratio = (sigma_t_ / safe(sigma_s0_)) * jnp.exp(-h)
@@ -219,13 +315,21 @@ class DPMSolverMultistepScheduler(Scheduler):
             noise = jax.random.normal(rng, sample.shape, jnp.float32)
             base = ratio * x32 + sigma_t_ * jnp.sqrt(jnp.clip(phi, 0.0, None)) * noise
             first = base + alpha_t * phi * D0
-            second = first + 0.5 * alpha_t * phi * D1
+            if heun:
+                second = first + alpha_t * (phi / (-2.0 * safe_h2) + 1.0) * D1
+            else:
+                second = first + 0.5 * alpha_t * phi * D1
         else:
-            # dpmsolver (eps space): x_t = (alpha_t/alpha_s0) x - sigma_t (e^{h} - 1) D0 [...]
+            # dpmsolver (eps space): x_t = (alpha_t/alpha_s0) x - sigma_t (e^{h} - 1) D0
+            #   midpoint: - 0.5 sigma_t (e^{h}-1) D1
+            #   heun:     - sigma_t ((e^{h}-1)/h - 1) D1
             ratio = alpha_t / alpha_s0
             phi = jnp.expm1(h)
             first = ratio * x32 - sigma_t_ * phi * D0
-            second = first - 0.5 * sigma_t_ * phi * D1
+            if heun:
+                second = first - sigma_t_ * (phi / safe_h2 - 1.0) * D1
+            else:
+                second = first - 0.5 * sigma_t_ * phi * D1
 
         use_first = order_count < 1
         lower_order_second = jnp.bool_(False)
@@ -233,14 +337,15 @@ class DPMSolverMultistepScheduler(Scheduler):
             use_first = jnp.bool_(True)
         else:
             # diffusers forces a first-order FINAL step when any of:
-            #   euler_at_final (not exposed), lower_order_final and n < 15,
-            #   final_sigmas_type == "zero" (the default, i.e. every ++ variant).
+            #   euler_at_final, lower_order_final and n < 15,
+            #   final_sigmas_type == "zero" (the default for every ++ variant).
             # The zero-final-sigma term is essential: at sigma_t = 0 the clamped
             # lambda makes h ~ 23 - lam_s0, so r0 = h_0/h collapses and
             # D1 = (m0 - m1)/r0 explodes ~h/h_0× — a second-order final step
             # wrecks the sample (the round-1 DPM++ quality-gap bug).
-            final_sigma_zero = self.algorithm_type != "dpmsolver"
-            if final_sigma_zero or (self.lower_order_final and n < 15):
+            final_sigma_zero = self._final_sigmas_type_resolved() == "zero"
+            if (self.euler_at_final or final_sigma_zero
+                    or (self.lower_order_final and n < 15)):
                 use_first = jnp.logical_or(use_first, index == n - 1)
             if self.lower_order_final and n < 15:
                 lower_order_second = index == n - 2

@@ -41,7 +41,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fmdm_tpu.schedulers.base import Scheduler, make_beta_schedule
+from fmdm_tpu.schedulers.base import (
+    Scheduler,
+    check_unimplemented_kwargs,
+    make_beta_schedule,
+)
+
+# diffusers.DPMSolverSDEScheduler ctor params recognized but NOT implemented.
+# noise_sampler_seed is deliberately NOT here: it selects a noise stream, not
+# an update rule — this stack's RNG discipline (explicit JAX keys) is
+# documented as distribution-level equivalent, so the knob is accepted as a
+# no-op below rather than rejected.
+_UNIMPLEMENTED = frozenset({"trained_betas", "timestep_spacing", "steps_offset"})
 
 
 def _sigma_to_t(sigma: np.ndarray, log_sigmas: np.ndarray) -> np.ndarray:
@@ -84,8 +95,10 @@ class DPMSolverSDEScheduler(Scheduler):
         prediction_type: str = "epsilon",
         use_karras_sigmas: bool = False,
         s_noise: float = 1.0,
-        **_unused,
+        noise_sampler_seed: Optional[int] = None,  # accepted no-op (see above)
+        **extra,
     ) -> "DPMSolverSDEScheduler":
+        check_unimplemented_kwargs(cls.__name__, extra, _UNIMPLEMENTED)
         betas = make_beta_schedule(beta_schedule, num_train_timesteps, beta_start, beta_end)
         alphas_cumprod = np.cumprod(1.0 - betas)
         return cls(

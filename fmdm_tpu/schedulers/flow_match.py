@@ -20,7 +20,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fmdm_tpu.schedulers.base import Scheduler, broadcast_to_sample
+from fmdm_tpu.schedulers.base import (
+    Scheduler,
+    broadcast_to_sample,
+    check_unimplemented_kwargs,
+)
+
+# diffusers.FlowMatchEulerDiscreteScheduler ctor params recognized but NOT
+# implemented (see base.check_unimplemented_kwargs)
+_UNIMPLEMENTED = frozenset({
+    "use_dynamic_shifting", "base_shift", "max_shift", "base_image_seq_len",
+    "max_image_seq_len", "invert_sigmas", "shift_terminal", "time_shift_type",
+    "use_karras_sigmas", "use_exponential_sigmas", "use_beta_sigmas",
+    "stochastic_sampling",
+})
 
 
 @dataclasses.dataclass(frozen=True)
@@ -30,7 +43,8 @@ class FlowMatchEulerDiscreteScheduler(Scheduler):
     _sigmas: Optional[np.ndarray] = None  # per selected timestep + trailing 0
 
     @classmethod
-    def create(cls, num_train_timesteps: int = 1000, shift: float = 1.0, **_unused):
+    def create(cls, num_train_timesteps: int = 1000, shift: float = 1.0, **extra):
+        check_unimplemented_kwargs(cls.__name__, extra, _UNIMPLEMENTED)
         return cls(num_train_timesteps=num_train_timesteps, shift=shift)
 
     # -- sigma math ----------------------------------------------------------

@@ -24,9 +24,20 @@ import numpy as np
 
 from fmdm_tpu.schedulers.base import (
     Scheduler,
+    check_unimplemented_kwargs,
+    karras_sigmas,
     make_beta_schedule,
-    spaced_timesteps_linspace,
+    sigma_to_t,
+    spaced_timesteps,
 )
+
+# diffusers.UniPCMultistepScheduler ctor params recognized but NOT implemented
+# (see base.check_unimplemented_kwargs)
+_UNIMPLEMENTED = frozenset({
+    "trained_betas", "disable_corrector", "solver_p",
+    "use_exponential_sigmas", "use_beta_sigmas", "use_flow_sigmas",
+    "flow_shift", "rescale_betas_zero_snr",
+})
 
 
 def _solve2(r1, r2, b1, b2):
@@ -69,7 +80,12 @@ class UniPCMultistepScheduler(Scheduler):
     thresholding: bool = False
     dynamic_thresholding_ratio: float = 0.995
     sample_max_value: float = 1.0
+    use_karras_sigmas: bool = False
+    timestep_spacing: str = "linspace"
+    steps_offset: int = 0
+    final_sigmas_type: str = "zero"
     num_inference_steps: Optional[int] = None
+    _karras_sigmas: Optional[np.ndarray] = None
 
     @classmethod
     def create(
@@ -88,13 +104,22 @@ class UniPCMultistepScheduler(Scheduler):
         thresholding: bool = False,
         dynamic_thresholding_ratio: float = 0.995,
         sample_max_value: float = 1.0,
-        **_unused,
+        use_karras_sigmas: bool = False,
+        timestep_spacing: str = "linspace",
+        steps_offset: int = 0,
+        final_sigmas_type: str = "zero",
+        **extra,
     ) -> "UniPCMultistepScheduler":
+        check_unimplemented_kwargs(cls.__name__, extra, _UNIMPLEMENTED)
         if solver_order not in (1, 2, 3):
             raise ValueError(
                 f"UniPC solver_order must be 1, 2 or 3 (diffusers surface); got {solver_order}")
         if solver_type not in ("bh1", "bh2"):
             raise ValueError(f"UniPC solver_type must be 'bh1' or 'bh2'; got '{solver_type}'")
+        if timestep_spacing not in ("linspace", "leading", "trailing"):
+            raise ValueError(f"Unknown timestep_spacing '{timestep_spacing}'")
+        if final_sigmas_type not in ("zero", "sigma_min"):
+            raise ValueError(f"Unknown final_sigmas_type '{final_sigmas_type}'")
         betas = make_beta_schedule(beta_schedule, num_train_timesteps, beta_start, beta_end)
         alphas_cumprod = np.cumprod(1.0 - betas)
         return cls(
@@ -110,6 +135,10 @@ class UniPCMultistepScheduler(Scheduler):
             thresholding=thresholding,
             dynamic_thresholding_ratio=dynamic_thresholding_ratio,
             sample_max_value=sample_max_value,
+            use_karras_sigmas=use_karras_sigmas,
+            timestep_spacing=timestep_spacing,
+            steps_offset=steps_offset,
+            final_sigmas_type=final_sigmas_type,
         )
 
     # -- shared sigma helpers (same convention as DPM-Solver) -----------------
@@ -120,7 +149,20 @@ class UniPCMultistepScheduler(Scheduler):
 
     def set_timesteps(self, num_inference_steps: int) -> np.ndarray:
         object.__setattr__(self, "num_inference_steps", num_inference_steps)
-        return spaced_timesteps_linspace(self.num_train_timesteps, num_inference_steps)
+        timesteps = spaced_timesteps(
+            self.timestep_spacing, self.num_train_timesteps,
+            num_inference_steps, self.steps_offset)
+        if self.use_karras_sigmas:
+            # same Karras remap as DPM-Solver multistep (see dpm.py)
+            acp = np.asarray(self.alphas_cumprod, np.float64)
+            all_sigmas = np.sqrt((1.0 - acp) / acp)
+            sel = all_sigmas[timesteps]
+            sigmas = karras_sigmas(float(sel[-1]), float(sel[0]), num_inference_steps)
+            timesteps = sigma_to_t(sigmas, np.log(all_sigmas)).round().astype(np.int64)
+            object.__setattr__(self, "_karras_sigmas", sigmas)
+        else:
+            object.__setattr__(self, "_karras_sigmas", None)
+        return timesteps
 
     def init_state(self, timesteps: np.ndarray, sample: Optional[jax.Array] = None) -> Dict[str, Any]:
         if sample is None:
@@ -138,9 +180,25 @@ class UniPCMultistepScheduler(Scheduler):
         return state
 
     def _sigmas_for(self, timesteps: jax.Array) -> jax.Array:
-        acp = jnp.asarray(self.alphas_cumprod, dtype=jnp.float32)[timesteps]
-        sigmas = jnp.sqrt((1.0 - acp) / acp)
-        return jnp.concatenate([sigmas, jnp.zeros((1,), jnp.float32)])
+        if self.use_karras_sigmas:
+            if self._karras_sigmas is None:
+                raise ValueError(
+                    "use_karras_sigmas requires set_timesteps() before step()")
+            n_passed = int(timesteps.shape[0])
+            stored = np.asarray(self._karras_sigmas, np.float32)
+            if n_passed > stored.shape[0]:
+                raise ValueError("timesteps longer than the Karras schedule")
+            # slicing keeps a schedule SUFFIX; align by trailing length
+            sigmas = jnp.asarray(stored[stored.shape[0] - n_passed:], jnp.float32)
+        else:
+            acp = jnp.asarray(self.alphas_cumprod, dtype=jnp.float32)[timesteps]
+            sigmas = jnp.sqrt((1.0 - acp) / acp)
+        if self.final_sigmas_type == "sigma_min":
+            a0 = jnp.float32(self.alphas_cumprod[0])
+            final = jnp.sqrt((1.0 - a0) / a0)[None]
+        else:
+            final = jnp.zeros((1,), jnp.float32)
+        return jnp.concatenate([sigmas, final])
 
     @staticmethod
     def _alpha_sigma(sigma):

@@ -91,6 +91,16 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
     # readback is slow (~7 MB/s through the axon tunnel -> minutes per save
     # of a 113M-param model+optimizer). The final epoch always saves.
     checkpoint_every = int(training_cfg.get("checkpoint_every_epochs", 1))
+    if checkpoint_every > 1 and save_model_epochs % checkpoint_every != 0:
+        # epoch snapshots only happen when state was gathered this epoch, so a
+        # save_model_epochs finer than checkpoint_every_epochs silently yields
+        # fewer snapshots than configured (ADVICE r3)
+        logging.warning(
+            "save_model_epochs=%d is finer than checkpoint_every_epochs=%d: "
+            "epoch snapshots are only written on gather epochs (every %d), so "
+            "off-cadence snapshots will be skipped.",
+            save_model_epochs, checkpoint_every, checkpoint_every,
+        )
     grad_accum = max(1, int(training_cfg.get("gradient_accumulation_steps", 1)))
     lr_warmup = int(training_cfg.get("lr_warmup_steps", 500))
     latent_norm = training_cfg.get("latent_norm")

@@ -153,6 +153,14 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
     # parity); see denoise_lib — host readback off a remote-attached chip is
     # the cost, not the disk write. The final epoch always saves.
     checkpoint_every = int(training_cfg.get("checkpoint_every_epochs", 1))
+    if checkpoint_every > 1 and save_every % checkpoint_every != 0:
+        # see denoise_lib: snapshots only happen on gather epochs (ADVICE r3)
+        logging.warning(
+            "save_every=%d is finer than checkpoint_every_epochs=%d: epoch "
+            "snapshots are only written on gather epochs (every %d), so "
+            "off-cadence snapshots will be skipped.",
+            save_every, checkpoint_every, checkpoint_every,
+        )
     grad_accum = max(1, int(training_cfg.get("gradient_accumulation_steps", 1)))
 
     base_output_dir = Path(training_cfg.get("output_dir", "checkpoints/vae"))

@@ -49,7 +49,7 @@ def make_phantom(rng: np.random.RandomState, size=256) -> np.ndarray:
     return img
 
 
-def gen_dataset(root: Path, n_train_cases=6, n_test_cases=2, depth=24, seed=0):
+def gen_dataset(root: Path, n_train_cases=16, n_test_cases=6, depth=24, seed=0):
     data = root / "data"
     data.mkdir(parents=True, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -69,7 +69,8 @@ def gen_dataset(root: Path, n_train_cases=6, n_test_cases=2, depth=24, seed=0):
     (root / "test.txt").write_text("Case\tSDCT\tLDCT\n" + "\n".join(rows_test) + "\n")
 
 
-def write_config(root: Path, epochs: int, variant: str = "diffusion") -> Path:
+def write_config(root: Path, epochs: int, variant: str = "diffusion",
+                 ckpt_every: int = 50) -> Path:
     src = ("configs/LDCT/LDCT_ddpm_diffusers_nd.json" if variant == "diffusion"
            else "configs/LDCT/LDCT_flow_matching_diffusers_nd.json")
     base = json.loads((REPO / src).read_text())
@@ -82,13 +83,13 @@ def write_config(root: Path, epochs: int, variant: str = "diffusion") -> Path:
         "mixed_precision": "bf16",
         "num_inference_steps": 50,
         "save_images": False,
-        "save_model_epochs": max(1, epochs // 2),
-        "lr_warmup_steps": 100,
+        "save_model_epochs": ckpt_every,
+        "lr_warmup_steps": 500,
         "use_tensor_cache": True,
         "save_tensor_cache": True,
         # host readback through the axon tunnel is ~7 MB/s; gathering the
         # 113M-param state every epoch would dominate wall time
-        "checkpoint_every_epochs": 50,
+        "checkpoint_every_epochs": ckpt_every,
         "visual_every": 1000,
     })
     # dataset.json walk needs an ancestor copy next to the config
@@ -114,6 +115,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", type=Path, default=Path("/tmp/flagship_sweep"))
     ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--flow-epochs", type=int, default=None,
+                    help="epochs for the flow_matching variant (default: --epochs)")
+    ap.add_argument("--train-cases", type=int, default=16)
+    ap.add_argument("--test-cases", type=int, default=6)
+    ap.add_argument("--ckpt-every", type=int, default=50,
+                    help="checkpoint/snapshot cadence in epochs")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-data", action="store_true")
     ap.add_argument("--aliases", default=",".join(ALIASES))
@@ -123,7 +130,8 @@ def main():
     root.mkdir(parents=True, exist_ok=True)
 
     if not args.skip_data:
-        gen_dataset(root)
+        gen_dataset(root, n_train_cases=args.train_cases,
+                    n_test_cases=args.test_cases)
         print("dataset generated", flush=True)
 
     # Two trained models: the diffusion (eps) flagship serves the 7 diffusion
@@ -137,7 +145,9 @@ def main():
                 else "flowmatch" in aliases)
         if not need:
             continue
-        cfg = write_config(root, args.epochs, variant)
+        epochs = (args.flow_epochs if variant == "flow_matching"
+                  and args.flow_epochs is not None else args.epochs)
+        cfg = write_config(root, epochs, variant, ckpt_every=args.ckpt_every)
         run_dir = root / f"run_{variant}"
         json_cfg = json.loads(Path(cfg).read_text())
         json_cfg["training"]["output_dir"] = str(run_dir)

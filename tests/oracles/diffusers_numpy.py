@@ -41,21 +41,44 @@ def _betas(schedule: str, n: int, start: float, end: float) -> np.ndarray:
     raise ValueError(schedule)
 
 
+def _spaced_timesteps(spacing, N, n, steps_offset=0, linspace_endpoint=True):
+    # diffusers timestep_spacing dispatch (leading default for DDPM/DDIM).
+    # linspace_endpoint=True is the DDPM/DDIM n-point convention;
+    # DPM-Solver/UniPC use the n+1-points-drop-last convention.
+    if spacing == "linspace":
+        if not linspace_endpoint:
+            return np.linspace(0, N - 1, n + 1).round()[::-1][:-1].copy().astype(np.int64)
+        return np.linspace(0, N - 1, n).round()[::-1].copy().astype(np.int64)
+    if spacing == "leading":
+        ratio = N // n
+        return (np.arange(n) * ratio).round()[::-1].astype(np.int64) + steps_offset
+    if spacing == "trailing":
+        return np.arange(N, 0, -N / n).round().astype(np.int64) - 1
+    raise ValueError(spacing)
+
+
 class NpDDPM:
     def __init__(self, num_train_timesteps=1000, beta_start=1e-4, beta_end=0.02,
                  beta_schedule="linear", clip_sample=True, clip_sample_range=1.0,
-                 variance_type="fixed_small", prediction_type="epsilon"):
+                 variance_type="fixed_small", prediction_type="epsilon",
+                 thresholding=False, dynamic_thresholding_ratio=0.995,
+                 sample_max_value=1.0, timestep_spacing="leading", steps_offset=0):
         self.N = num_train_timesteps
         self.acp = np.cumprod(1.0 - _betas(beta_schedule, num_train_timesteps, beta_start, beta_end))
         self.clip_sample = clip_sample
         self.clip_range = clip_sample_range
         self.variance_type = variance_type
         self.prediction_type = prediction_type
+        self.thresholding = thresholding
+        self.dynamic_thresholding_ratio = dynamic_thresholding_ratio
+        self.sample_max_value = sample_max_value
+        self.timestep_spacing = timestep_spacing
+        self.steps_offset = steps_offset
 
     def set_timesteps(self, n):
         self.n = n
-        ratio = self.N // n
-        self.timesteps = (np.arange(n) * ratio).round()[::-1].astype(np.int64)
+        self.timesteps = _spaced_timesteps(self.timestep_spacing, self.N, n,
+                                           self.steps_offset)
         return self.timesteps
 
     def add_noise(self, x0, noise, t):
@@ -79,7 +102,10 @@ class NpDDPM:
             x0 = a_t**0.5 * sample - b_t**0.5 * model_output
         else:
             raise ValueError(self.prediction_type)
-        if self.clip_sample:
+        if self.thresholding:
+            x0 = _threshold_sample(x0, self.dynamic_thresholding_ratio,
+                                   self.sample_max_value)
+        elif self.clip_sample:
             x0 = np.clip(x0, -self.clip_range, self.clip_range)
 
         prev = (a_prev**0.5 * cur_beta / b_t) * x0 + (cur_alpha**0.5 * b_prev / b_t) * sample
@@ -98,7 +124,9 @@ class NpDDIM:
     def __init__(self, num_train_timesteps=1000, beta_start=1e-4, beta_end=0.02,
                  beta_schedule="linear", clip_sample=True, clip_sample_range=1.0,
                  set_alpha_to_one=True, prediction_type="epsilon", eta=0.0,
-                 use_clipped_model_output=False):
+                 use_clipped_model_output=False, thresholding=False,
+                 dynamic_thresholding_ratio=0.995, sample_max_value=1.0,
+                 timestep_spacing="leading", steps_offset=0):
         self.N = num_train_timesteps
         self.acp = np.cumprod(1.0 - _betas(beta_schedule, num_train_timesteps, beta_start, beta_end))
         self.final_acp = 1.0 if set_alpha_to_one else float(self.acp[0])
@@ -107,11 +135,16 @@ class NpDDIM:
         self.prediction_type = prediction_type
         self.eta = eta
         self.use_clipped_model_output = use_clipped_model_output
+        self.thresholding = thresholding
+        self.dynamic_thresholding_ratio = dynamic_thresholding_ratio
+        self.sample_max_value = sample_max_value
+        self.timestep_spacing = timestep_spacing
+        self.steps_offset = steps_offset
 
     def set_timesteps(self, n):
         self.n = n
-        ratio = self.N // n
-        self.timesteps = (np.arange(n) * ratio).round()[::-1].astype(np.int64)
+        self.timesteps = _spaced_timesteps(self.timestep_spacing, self.N, n,
+                                           self.steps_offset)
         return self.timesteps
 
     def add_noise(self, x0, noise, t):
@@ -136,7 +169,10 @@ class NpDDIM:
             eps = a_t**0.5 * model_output + b_t**0.5 * sample
         else:
             raise ValueError(self.prediction_type)
-        if self.clip_sample:
+        if self.thresholding:
+            x0 = _threshold_sample(x0, self.dynamic_thresholding_ratio,
+                                   self.sample_max_value)
+        elif self.clip_sample:
             x0 = np.clip(x0, -self.clip_range, self.clip_range)
 
         var = (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
@@ -167,29 +203,68 @@ def _threshold_sample(x0, ratio, max_value):
     return np.clip(x0, -s, s) / s
 
 
+def _karras_ramp(sigma_min, sigma_max, n, rho=7.0):
+    # diffusers _convert_to_karras, float64
+    ramp = np.linspace(0, 1, n)
+    min_inv_rho = sigma_min ** (1 / rho)
+    max_inv_rho = sigma_max ** (1 / rho)
+    return (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
+
+
+def _np_sigma_to_t(sigma, log_sigmas):
+    # diffusers _sigma_to_t (scalar), float64
+    log_sigma = np.log(np.maximum(sigma, 1e-10))
+    dists = log_sigma - log_sigmas[:, None] if np.ndim(sigma) else log_sigma - log_sigmas
+    if np.ndim(sigma):
+        low_idx = np.cumsum((dists >= 0), axis=0).argmax(axis=0).clip(
+            max=log_sigmas.shape[0] - 2)
+    else:
+        low_idx = int(np.cumsum((dists >= 0)).argmax().clip(max=log_sigmas.shape[0] - 2))
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = np.clip((low - log_sigma) / (low - high), 0, 1)
+    return (1 - w) * low_idx + w * high_idx
+
+
 class NpDPMSolverMultistep:
     def __init__(self, num_train_timesteps=1000, beta_start=1e-4, beta_end=0.02,
                  beta_schedule="linear", solver_order=2, algorithm_type="dpmsolver++",
-                 prediction_type="epsilon", lower_order_final=True,
+                 solver_type="midpoint", prediction_type="epsilon",
+                 lower_order_final=True, euler_at_final=False,
                  thresholding=False, dynamic_thresholding_ratio=0.995,
-                 sample_max_value=1.0):
+                 sample_max_value=1.0, use_karras_sigmas=False,
+                 timestep_spacing="linspace", steps_offset=0):
         self.N = num_train_timesteps
         self.acp = np.cumprod(1.0 - _betas(beta_schedule, num_train_timesteps, beta_start, beta_end))
         self.solver_order = solver_order
         self.algorithm_type = algorithm_type
+        self.solver_type = solver_type
         self.prediction_type = prediction_type
         self.lower_order_final = lower_order_final
+        self.euler_at_final = euler_at_final
         self.thresholding = thresholding
         self.dynamic_thresholding_ratio = dynamic_thresholding_ratio
         self.sample_max_value = sample_max_value
+        self.use_karras_sigmas = use_karras_sigmas
+        self.timestep_spacing = timestep_spacing
+        self.steps_offset = steps_offset
         # diffusers rejects final_sigmas_type="zero" for eps-space dpmsolver;
         # the reference's dpmsolver1/2 aliases therefore run with sigma_min.
         self.final_sigmas_type = "sigma_min" if algorithm_type == "dpmsolver" else "zero"
 
     def set_timesteps(self, n):
-        self.timesteps = _linspace_timesteps(self.N, n)
+        self.timesteps = _spaced_timesteps(self.timestep_spacing, self.N, n,
+                                           self.steps_offset,
+                                           linspace_endpoint=False)
         all_sigmas = ((1 - self.acp) / self.acp) ** 0.5
         sigmas = all_sigmas[self.timesteps]
+        if self.use_karras_sigmas:
+            # diffusers: Karras rho-7 ramp between the selected schedule's
+            # extremes; timesteps re-derived by log-sigma interpolation
+            sigmas = _karras_ramp(float(sigmas[-1]), float(sigmas[0]), n)
+            log_sigmas = np.log(all_sigmas)
+            self.timesteps = np.array(
+                [_np_sigma_to_t(s, log_sigmas) for s in sigmas]).round().astype(np.int64)
         last = all_sigmas[0] if self.final_sigmas_type == "sigma_min" else 0.0
         self.sigmas = np.concatenate([sigmas, [last]])
         self.model_outputs = [None] * self.solver_order
@@ -250,16 +325,23 @@ class NpDPMSolverMultistep:
             h, h_0 = lam_t - lam_s0, lam_s0 - lam_s1
             r0 = h_0 / h
             D0, D1 = m0, (1.0 / r0) * (m0 - m1)
-            if self.algorithm_type == "dpmsolver++":  # midpoint
-                return ((sigma_t / sigma_s0) * sample - alpha_t * np.expm1(-h) * D0
-                        - 0.5 * alpha_t * np.expm1(-h) * D1)
+            heun = self.solver_type == "heun"
+            if self.algorithm_type == "dpmsolver++":
+                base = (sigma_t / sigma_s0) * sample - alpha_t * np.expm1(-h) * D0
+                if heun:
+                    return base + alpha_t * (np.expm1(-h) / h + 1.0) * D1
+                return base - 0.5 * alpha_t * np.expm1(-h) * D1
             if self.algorithm_type == "dpmsolver":
-                return ((alpha_t / alpha_s0) * sample - sigma_t * np.expm1(h) * D0
-                        - 0.5 * sigma_t * np.expm1(h) * D1)
-            return ((sigma_t / sigma_s0) * np.exp(-h) * sample
+                base = (alpha_t / alpha_s0) * sample - sigma_t * np.expm1(h) * D0
+                if heun:
+                    return base - sigma_t * (np.expm1(h) / h - 1.0) * D1
+                return base - 0.5 * sigma_t * np.expm1(h) * D1
+            base = ((sigma_t / sigma_s0) * np.exp(-h) * sample
                     + alpha_t * (1 - np.exp(-2.0 * h)) * D0
-                    + 0.5 * alpha_t * (1 - np.exp(-2.0 * h)) * D1
                     + sigma_t * np.sqrt(1 - np.exp(-2.0 * h)) * noise)
+            if heun:
+                return base + alpha_t * ((1 - np.exp(-2.0 * h)) / (-2.0 * h) + 1.0) * D1
+            return base + 0.5 * alpha_t * (1 - np.exp(-2.0 * h)) * D1
 
     def _third_order(self, sample):
         """diffusers multistep_dpm_solver_third_order_update (no SDE variant)."""
@@ -300,7 +382,9 @@ class NpDPMSolverMultistep:
         n = len(self.timesteps)
         final_step = self.step_index == n - 1
         lower_order_final = final_step and (
-            (self.lower_order_final and n < 15) or self.final_sigmas_type == "zero"
+            self.euler_at_final
+            or (self.lower_order_final and n < 15)
+            or self.final_sigmas_type == "zero"
         )
         lower_order_second = (self.step_index == n - 2) and self.lower_order_final and n < 15
 
@@ -330,7 +414,9 @@ class NpUniPC:
                  beta_schedule="linear", solver_order=2, predict_x0=True,
                  prediction_type="epsilon", lower_order_final=True,
                  solver_type="bh2", thresholding=False,
-                 dynamic_thresholding_ratio=0.995, sample_max_value=1.0):
+                 dynamic_thresholding_ratio=0.995, sample_max_value=1.0,
+                 use_karras_sigmas=False, timestep_spacing="linspace",
+                 steps_offset=0, final_sigmas_type="zero"):
         self.N = num_train_timesteps
         self.acp = np.cumprod(1.0 - _betas(beta_schedule, num_train_timesteps, beta_start, beta_end))
         self.solver_order = solver_order
@@ -341,11 +427,24 @@ class NpUniPC:
         self.thresholding = thresholding
         self.dynamic_thresholding_ratio = dynamic_thresholding_ratio
         self.sample_max_value = sample_max_value
+        self.use_karras_sigmas = use_karras_sigmas
+        self.timestep_spacing = timestep_spacing
+        self.steps_offset = steps_offset
+        self.final_sigmas_type = final_sigmas_type
 
     def set_timesteps(self, n):
-        self.timesteps = _linspace_timesteps(self.N, n)
+        self.timesteps = _spaced_timesteps(self.timestep_spacing, self.N, n,
+                                           self.steps_offset,
+                                           linspace_endpoint=False)
         all_sigmas = ((1 - self.acp) / self.acp) ** 0.5
-        self.sigmas = np.concatenate([all_sigmas[self.timesteps], [0.0]])
+        sigmas = all_sigmas[self.timesteps]
+        if self.use_karras_sigmas:
+            sigmas = _karras_ramp(float(sigmas[-1]), float(sigmas[0]), n)
+            log_sigmas = np.log(all_sigmas)
+            self.timesteps = np.array(
+                [_np_sigma_to_t(s, log_sigmas) for s in sigmas]).round().astype(np.int64)
+        last = all_sigmas[0] if self.final_sigmas_type == "sigma_min" else 0.0
+        self.sigmas = np.concatenate([sigmas, [last]])
         self.model_outputs = [None] * self.solver_order
         self.lower_order_nums = 0
         self.step_index = 0

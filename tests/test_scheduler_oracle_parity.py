@@ -94,7 +94,53 @@ CASES = {
                      lambda: NpUniPC(thresholding=True)),
     "flow": (lambda: FlowMatchEulerDiscreteScheduler.create(num_train_timesteps=1000),
              lambda: NpFlowMatchEuler()),
+    # -- round-4 diffusers knobs (VERDICT r3 item 2): karras sigmas, heun
+    #    solver, timestep spacing, euler_at_final, DDPM/DDIM thresholding --
+    "dpmpp2_karras": (lambda: DPMSolverMultistepScheduler.create(num_train_timesteps=1000, use_karras_sigmas=True),
+                      lambda: NpDPMSolverMultistep(use_karras_sigmas=True)),
+    "dpmpp2_heun": (lambda: DPMSolverMultistepScheduler.create(num_train_timesteps=1000, solver_type="heun"),
+                    lambda: NpDPMSolverMultistep(solver_type="heun")),
+    "dpm2_heun": (lambda: DPMSolverMultistepScheduler.create(num_train_timesteps=1000, solver_order=2, algorithm_type="dpmsolver", solver_type="heun"),
+                  lambda: NpDPMSolverMultistep(solver_order=2, algorithm_type="dpmsolver", solver_type="heun")),
+    "dpmpp2_sde_heun": (lambda: DPMSolverMultistepScheduler.create(num_train_timesteps=1000, algorithm_type="sde-dpmsolver++", solver_type="heun"),
+                        lambda: NpDPMSolverMultistep(algorithm_type="sde-dpmsolver++", solver_type="heun")),
+    "dpmpp2_karras_heun": (lambda: DPMSolverMultistepScheduler.create(num_train_timesteps=1000, use_karras_sigmas=True, solver_type="heun"),
+                           lambda: NpDPMSolverMultistep(use_karras_sigmas=True, solver_type="heun")),
+    "dpmpp2_trailing": (lambda: DPMSolverMultistepScheduler.create(num_train_timesteps=1000, timestep_spacing="trailing"),
+                        lambda: NpDPMSolverMultistep(timestep_spacing="trailing")),
+    "dpmpp2_leading": (lambda: DPMSolverMultistepScheduler.create(num_train_timesteps=1000, timestep_spacing="leading"),
+                       lambda: NpDPMSolverMultistep(timestep_spacing="leading")),
+    "dpm2_euler_final": (lambda: DPMSolverMultistepScheduler.create(num_train_timesteps=1000, solver_order=2, algorithm_type="dpmsolver", euler_at_final=True),
+                         lambda: NpDPMSolverMultistep(solver_order=2, algorithm_type="dpmsolver", euler_at_final=True)),
+    "unipc_karras": (lambda: UniPCMultistepScheduler.create(num_train_timesteps=1000, use_karras_sigmas=True),
+                     lambda: NpUniPC(use_karras_sigmas=True)),
+    "unipc_trailing": (lambda: UniPCMultistepScheduler.create(num_train_timesteps=1000, timestep_spacing="trailing"),
+                       lambda: NpUniPC(timestep_spacing="trailing")),
+    "ddpm_thresh": (lambda: DDPMScheduler.create(num_train_timesteps=1000, thresholding=True),
+                    lambda: NpDDPM(thresholding=True)),
+    "ddpm_trailing": (lambda: DDPMScheduler.create(num_train_timesteps=1000, timestep_spacing="trailing"),
+                      lambda: NpDDPM(timestep_spacing="trailing")),
+    "ddim_thresh": (lambda: DDIMScheduler.create(num_train_timesteps=1000, thresholding=True),
+                    lambda: NpDDIM(thresholding=True)),
+    "ddim_linspace_offset": (lambda: DDIMScheduler.create(num_train_timesteps=1000, timestep_spacing="leading", steps_offset=1),
+                             lambda: NpDDIM(timestep_spacing="leading", steps_offset=1)),
 }
+
+
+def test_karras_timesteps_and_sigmas_differ_from_default():
+    """use_karras_sigmas must actually change the schedule (guard against a
+    silently ignored flag — the exact failure mode this round removes)."""
+    plain = DPMSolverMultistepScheduler.create(num_train_timesteps=1000)
+    karras = DPMSolverMultistepScheduler.create(num_train_timesteps=1000,
+                                                use_karras_sigmas=True)
+    ts_plain = plain.set_timesteps(20)
+    ts_karras = karras.set_timesteps(20)
+    assert not np.array_equal(ts_plain, ts_karras)
+    s_plain = np.asarray(plain._sigmas_for(jnp.asarray(ts_plain)))
+    s_karras = np.asarray(karras._sigmas_for(jnp.asarray(ts_karras)))
+    assert not np.allclose(s_plain, s_karras)
+    # Karras sigmas are strictly decreasing and span the selected extremes
+    assert (np.diff(s_karras[:-1]) < 0).all()
 
 
 @pytest.mark.parametrize("n_steps", [10, 50])
