@@ -97,9 +97,12 @@ def main() -> None:
         "unit": "steps/s",
         # estimated CUDA denominator: 50 sample-steps/s v5e-capacity-equivalent
         # (BENCHMARKS.md "CUDA-baseline denominator"; 25% eager util on A100
-        # TF32 scaled by 197/312 peak ratio). An estimate, not a measurement.
+        # TF32 scaled by 197/312 peak ratio). An estimate, not a measurement —
+        # the honest claim is the INTERVAL in vs_baseline_range (README
+        # "Benchmarks"); this midpoint is the 25%-central point of it.
         "vs_baseline": round(steps_per_sec / 50.0, 2),
-        "vs_baseline_basis": "estimated (BENCHMARKS.md CUDA-baseline denominator)",
+        "vs_baseline_basis": ("estimated 25%-util central point; the claim is the "
+                              "interval vs_baseline_range (BENCHMARKS.md sensitivity)"),
         # denominator sensitivity at 40%/15% assumed CUDA eager utilization
         # (BENCHMARKS.md "Sensitivity of the >=5x claim")
         "vs_baseline_range": [round(steps_per_sec / 79.9, 2), round(steps_per_sec / 30.0, 2)],

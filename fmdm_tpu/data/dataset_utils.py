@@ -120,6 +120,17 @@ def build_dataset_from_config(training_cfg: dict, model_cfg: Optional[dict] = No
                               train: bool = True, cfg_path: Optional[Path] = None):
     dataset_json = _find_dataset_json(cfg_path)
     if dataset_json is None:
+        # run_model loads the FROZEN train_config.json inside the run dir,
+        # whose ancestry usually doesn't contain the original dataset.json —
+        # the data root itself is the natural durable home for it (the
+        # reference instead falls back to name heuristics, which can't know
+        # custom dataset classes like fmdm_tpu.data.latent:LatentDataset)
+        data_root = (training_cfg or {}).get("data_root")
+        if data_root:
+            candidate = Path(data_root) / "dataset.json"
+            if candidate.exists():
+                dataset_json = candidate
+    if dataset_json is None:
         dataset_class = _infer_dataset_class(training_cfg, model_cfg)
         if not dataset_class:
             raise ValueError("dataset.json not found in config directory or parents.")

@@ -111,9 +111,14 @@ def _maybe_ring_sdpa(q, k, v, scale):
             batch_part = cand if len(cand) > 1 else cand[0]
             break
     spec = P(batch_part, *([None] * (q.ndim - 3)), axis, None)
+    # check_vma=False: the fused flash hop's pallas_call does not propagate
+    # varying-axes typing through its kernel internals in interpret mode
+    # (jax 0.9 limitation); semantics are unchanged — the ring's collectives
+    # are explicit ppermutes.
     fn = jax.shard_map(
         functools.partial(ring_attention, axis_name=axis, scale=scale),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
     )
     return fn(q, k, v)
 

@@ -62,6 +62,19 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, bloc
     lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (m.shape[0], 128)).astype(jnp.float32)
 
 
+def _vma_of(*arrays) -> frozenset:
+    """Varying-axes set of the inputs (non-empty only under shard_map with
+    check_vma); pallas_call out_shapes must declare it or tracing fails when a
+    kernel runs inside a manual-axes region (e.g. the ring-attention hop)."""
+    vma = set()
+    for a in arrays:
+        try:
+            vma |= set(jax.typeof(a).vma)
+        except Exception:  # pragma: no cover - eager paths
+            pass
+    return frozenset(vma) or None  # None outside shard_map (the old default)
+
+
 def _pad_to(x, axis, multiple):
     size = x.shape[axis]
     pad = (-size) % multiple
@@ -97,8 +110,8 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
             pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, q.shape[1], d), q.dtype),
-            jax.ShapeDtypeStruct((bh, q.shape[1], 128), jnp.float32),
+            jax.ShapeDtypeStruct((bh, q.shape[1], d), q.dtype, vma=_vma_of(q, k, v)),
+            jax.ShapeDtypeStruct((bh, q.shape[1], 128), jnp.float32, vma=_vma_of(q, k, v)),
         ],
         interpret=interpret,
     )(q, k, v)
@@ -216,8 +229,8 @@ def _flash_backward_pallas(q, k, v, out, lse, g, scale, block_q, block_k):
             pl.BlockSpec((1, block_k, dv_dim), lambda b, j: (b, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype, vma=_vma_of(q_p, do_p, k, v)),
+            jax.ShapeDtypeStruct(v.shape, v.dtype, vma=_vma_of(q_p, do_p, k, v)),
         ],
         interpret=interpret,
     )(q_p, do_p, lse_b, delta_b, k, v)
@@ -234,7 +247,8 @@ def _flash_backward_pallas(q, k, v, out, lse, g, scale, block_q, block_k):
             pl.BlockSpec((1, tk, dv_dim), lambda b, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype,
+                                       vma=_vma_of(q_p, do_p, k, v)),
         interpret=interpret,
     )(q_p, do_p, lse_b, delta_b, k, v)
     return dq[:, :tq_real], dk, dv
@@ -267,6 +281,94 @@ def _flash_bwd_rule(scale, block_q, block_k, res, g):
 
 
 _flash_attention_3d.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def pick_block_k(tk: int, cap: int = DEFAULT_BLOCK_K) -> int:
+    """Largest KV block <= cap that divides tk (the kernels stream KV in
+    whole blocks). Falls back to tk itself when tk <= cap."""
+    if tk <= cap:
+        return tk
+    for cand in (cap, 384, 256, 128):
+        if cand <= cap and tk % cand == 0:
+            return cand
+    return tk  # caller must handle (single oversized block)
+
+
+def flash_forward_partials(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    *,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward flash attention over (..., T, D) returning (out, lse).
+
+    The (out, lse) pair IS the flash partial triple in normalized form
+    (lse = m + log l, out = acc / l): two chunks combine exactly via
+    lse' = logaddexp(lse_a, lse_b), out' = out_a·e^{lse_a−lse'} +
+    out_b·e^{lse_b−lse'} — the hop combiner ring attention needs
+    (parallel/sequence.py). NOT differentiable on its own (pallas_call has no
+    autodiff); the ring wraps the whole loop in a custom_vjp."""
+    lead = q.shape[:-2]
+    tq, d = q.shape[-2:]
+    tk = k.shape[-2]
+    bk = pick_block_k(min(block_k, tk))
+    if tk % bk != 0:
+        raise ValueError("flash_forward_partials requires block_k | KV length")
+    q3 = q.reshape((-1, tq, d))
+    k3 = k.reshape((-1, tk, d))
+    v3 = v.reshape((-1, tk, v.shape[-1]))
+    out, lse = _flash_forward(q3, k3, v3, float(scale), int(min(block_q, tq)), int(bk))
+    return (out.reshape(lead + (tq, v.shape[-1])),
+            lse.reshape(lead + (tq, 1)))
+
+
+def flash_backward_chunk(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    out: jax.Array,
+    lse: jax.Array,
+    g: jax.Array,
+    scale: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-chunk flash backward against GLOBAL (out, lse) residuals.
+
+    p = exp(q·kᵀ·scale − lse) are the globally normalized probabilities of
+    this KV chunk, so (dq_partial, dk_chunk, dv_chunk) from this call are the
+    exact per-chunk contributions; summing dq over chunks and routing each
+    (dk, dv) to its chunk's home completes the ring backward. Uses the Pallas
+    kernels when the chunk length is 128-aligned, else the XLA formulation."""
+    lead = q.shape[:-2]
+    tq, d = q.shape[-2:]
+    tk = k.shape[-2]
+    q3 = q.reshape((-1, tq, d))
+    k3 = k.reshape((-1, tk, d))
+    v3 = v.reshape((-1, tk, v.shape[-1]))
+    out3 = out.reshape((-1, tq, v.shape[-1]))
+    lse3 = lse.reshape((-1, tq, 1)).astype(jnp.float32)
+    g3 = g.reshape((-1, tq, v.shape[-1]))
+    bk = pick_block_k(min(DEFAULT_BLOCK_K, tk))
+    if tk % bk == 0 and bk % _LANES == 0:
+        dq, dk, dv = _flash_backward_pallas(
+            q3, k3, v3, out3, lse3, g3, float(scale),
+            int(min(DEFAULT_BLOCK_Q, tq)), int(bk))
+    else:
+        qf, kf, vf = (x.astype(jnp.float32) for x in (q3, k3, v3))
+        gf = g3.astype(jnp.float32)
+        s = jnp.einsum("bqd,bkd->bqk", qf * scale, kf)
+        p = jnp.exp(s - lse3)
+        dv = jnp.einsum("bqk,bqd->bkd", p, gf).astype(v.dtype)
+        dp = jnp.einsum("bqd,bkd->bqk", gf, vf)
+        delta = jnp.sum(gf * out3.astype(jnp.float32), axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dq = (jnp.einsum("bqk,bkd->bqd", ds, kf) * scale).astype(q.dtype)
+        dk = (jnp.einsum("bqk,bqd->bkd", ds, qf) * scale).astype(k.dtype)
+    return (dq.reshape(lead + (tq, d)),
+            dk.reshape(lead + (tk, d)),
+            dv.reshape(lead + (tk, v.shape[-1])))
 
 
 def flash_attention(

@@ -53,10 +53,35 @@ def fsdp_param_specs(params, mesh: Mesh, axis: str = "data"):
     return jax.tree_util.tree_map(spec, params)
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def _put(leaf, mesh: Mesh, spec: P):
+    """Place a value with the given sharding, multi-host aware.
+
+    On a multi-host mesh plain device_put cannot target non-addressable
+    shards. Host values: every process holds the SAME copy (same-seed init or
+    same checkpoint file — the replicate() contract in parallel/mesh.py), so
+    each process materializes its addressable shards from its local copy.
+    Already-global jax.Arrays (e.g. optimizer moments created by
+    optax init on FSDP-sharded params): reshard through an identity jit —
+    a collective all ranks run in lockstep."""
+    sharding = NamedSharding(mesh, spec)
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        return jax.jit(lambda x: x, out_shardings=sharding)(leaf)
+    if _spans_processes(mesh):
+        x = np.asarray(leaf)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx, x=x: x[idx])
+    return jax.device_put(leaf, sharding)
+
+
 def shard_params_fsdp(params, mesh: Mesh, axis: str = "data"):
     specs = fsdp_param_specs(params, mesh, axis)
     return jax.tree_util.tree_map(
-        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)), params, specs
+        lambda leaf, s: _put(leaf, mesh, s), params, specs
     )
 
 
@@ -69,6 +94,6 @@ def shard_opt_state_fsdp(opt_state, params, mesh: Mesh, axis: str = "data"):
     def place(leaf):
         shape = np.shape(leaf)
         spec = fsdp_leaf_spec(shape, axis_size, axis) if shape in shapes else P()
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return _put(leaf, mesh, spec)
 
     return jax.tree_util.tree_map(place, opt_state)

@@ -180,7 +180,18 @@ def to_host(tree):
     ):
         from jax.experimental import multihost_utils
 
-        tree = multihost_utils.process_allgather(tree)
+        # Gather ONLY the non-addressable (globally sharded) leaves, and with
+        # tiled=True — for a global array that returns the full value on every
+        # host; the default tiled=False refuses non-fully-addressable inputs,
+        # and gathering addressable leaves would wrongly concatenate the
+        # per-process copies of replicated values. tree_map order is identical
+        # on every process, so the per-leaf collectives stay in lockstep.
+        def _gather(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return multihost_utils.process_allgather(x, tiled=True)
+            return x
+
+        tree = jax.tree_util.tree_map(_gather, tree)
     # ONE batched device->host transfer for the whole tree: leaf-by-leaf
     # np.asarray pays a full round trip per leaf, which on a remote-attached
     # accelerator (axon tunnel, ~125 ms RTT) turns a 1.7 GB checkpoint

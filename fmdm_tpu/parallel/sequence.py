@@ -9,19 +9,25 @@ its local Q shard — the RingAttention formulation (online-softmax carry
 across ring hops), expressed with XLA collectives so the K/V transfer for
 hop i+1 can overlap the attention compute of hop i on ICI.
 
-Memory per device: O(T/n · d) activations and O(block_q · T/n) score tiles —
-nothing global to T. Exactness: the online-softmax recurrence is the same as
-flash attention's, so results match single-device SDPA to accumulation
-order. Each ring hop currently computes its chunk with the XLA einsum chain
-(materializing a (T/n × S/n) score tile per hop); fusing the Pallas flash
-kernel into the hop — it would need to expose its (m, l, acc) partials — is
-ROADMAP work, so at flash-eligible token counts compare one-chip flash vs
-ring before enabling sequence_parallel for speed alone (the ring's win is
-capacity: K/V streams and activations that outgrow one chip).
+Memory per device: O(T/n · d) activations; with the FUSED hop (default at
+flash-eligible shapes) the (T/n × S/n) score tile never touches HBM either —
+each hop streams the arriving K/V shard through the Pallas flash kernel
+(ops/pallas/flash_attention.flash_forward_partials) and folds its normalized
+(out, lse) into the running pair: lse' = logaddexp(lse, lse_c),
+out' = out·e^{lse−lse'} + out_c·e^{lse_c−lse'} — exactly the flash
+(m, l, acc) recurrence expressed on normalized partials (VERDICT r3 item 4).
+The backward is a second ring: each hop reuses the per-chunk flash backward
+against the saved GLOBAL (out, lse) residuals, accumulating dq locally while
+(dk, dv) accumulators rotate WITH their k/v shard and arrive home after n
+hops. Shapes the kernels can't tile (head dim/token counts off the 128-lane
+grid) fall back per hop to the einsum chunk formulation — same math, one
+(T/n × S/n) tile per hop, the round-3 behavior.
+
+Exactness either way: results match single-device SDPA to accumulation order.
 
 Entry points
 - ``ring_attention(q, k, v, axis_name=...)`` — inside shard_map/pjit, local
-  shards in, local out-shard back.
+  shards in, local out-shard back. ``impl='auto'|'flash'|'einsum'``.
 - ``sequence_parallel_sdpa(q, k, v, mesh, axis=...)`` — host-level wrapper:
   shard_maps global arrays over ``axis`` and runs ring_attention.
 """
@@ -53,6 +59,96 @@ def _chunk_attention(q, k, v, scale):
     return m, l, acc
 
 
+def _vma_vary(*arrays, axis_name):
+    """shard_map varying-axes helper: literal-constant carries must be marked
+    varying over ALL axes the data varies over (see body comment below)."""
+    try:
+        vma = tuple({ax for a in arrays for ax in jax.typeof(a).vma}) or (axis_name,)
+    except Exception:  # pragma: no cover - eager/older tracing paths
+        vma = (axis_name,)
+    return lambda x: jax.lax.pcast(x, vma, to="varying")
+
+
+def _flash_hop_eligible(q, k) -> bool:
+    """Can the Pallas kernels tile this hop? KV shard must be 128-aligned
+    (bwd probability tiles), and the fused path only pays off when the per-hop
+    score tile is big enough to matter (small tiles live in VMEM either way)."""
+    tq, d = q.shape[-2:]
+    tk = k.shape[-2]
+    return tk % 128 == 0 and tq >= 128 and d >= 16
+
+
+# -- fused flash ring (custom_vjp: pallas_call has no autodiff) --------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ring_flash(q, k, v, scale, axis_name):
+    out, _ = _ring_flash_forward(q, k, v, scale, axis_name)
+    return out
+
+
+def _ring_flash_forward(q, k, v, scale, axis_name):
+    from fmdm_tpu.ops.pallas.flash_attention import flash_forward_partials
+
+    n = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    _vary = _vma_vary(q, k, v, axis_name=axis_name)
+    out0 = _vary(jnp.zeros(q.shape[:-1] + (v.shape[-1],), jnp.float32))
+    lse0 = _vary(jnp.full(q.shape[:-1] + (1,), -jnp.inf, jnp.float32))
+
+    def body(i, carry):
+        out, lse, k_cur, v_cur = carry
+        o_c, lse_c = flash_forward_partials(q, k_cur, v_cur, scale)
+        lse_new = jnp.logaddexp(lse, lse_c)
+        # first hop: lse = -inf -> weight 0 for the zero accumulator
+        out = (out * jnp.exp(lse - lse_new)
+               + o_c.astype(jnp.float32) * jnp.exp(lse_c - lse_new))
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        return out, lse_new, k_nxt, v_nxt
+
+    out, lse, _, _ = jax.lax.fori_loop(0, n, body, (out0, lse0, k, v))
+    return out.astype(q.dtype), lse
+
+
+def _ring_flash_fwd_rule(q, k, v, scale, axis_name):
+    out, lse = _ring_flash_forward(q, k, v, scale, axis_name)
+    return out, (q, k, v, out, lse)
+
+
+def _ring_flash_bwd_rule(scale, axis_name, res, g):
+    from fmdm_tpu.ops.pallas.flash_attention import flash_backward_chunk
+
+    q, k, v, out, lse = res
+    n = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    _vary = _vma_vary(q, k, v, axis_name=axis_name)
+    dq0 = _vary(jnp.zeros(q.shape, jnp.float32))
+    dk0 = _vary(jnp.zeros(k.shape, jnp.float32))
+    dv0 = _vary(jnp.zeros(v.shape, jnp.float32))
+
+    def body(i, carry):
+        # (dk_cur, dv_cur) accumulate the gradient OF THE SHARD THEY TRAVEL
+        # WITH: rotating them together with (k_cur, v_cur) means every device
+        # adds its local-Q contribution exactly once, and after n hops each
+        # accumulator is back on its shard's home device.
+        dq, dk_cur, dv_cur, k_cur, v_cur = carry
+        dq_c, dk_c, dv_c = flash_backward_chunk(q, k_cur, v_cur, out, lse, g, scale)
+        dq = dq + dq_c.astype(jnp.float32)
+        dk_cur = dk_cur + dk_c.astype(jnp.float32)
+        dv_cur = dv_cur + dv_c.astype(jnp.float32)
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        dk_nxt = jax.lax.ppermute(dk_cur, axis_name, perm)
+        dv_nxt = jax.lax.ppermute(dv_cur, axis_name, perm)
+        return dq, dk_nxt, dv_nxt, k_nxt, v_nxt
+
+    dq, dk, dv, _, _ = jax.lax.fori_loop(0, n, body, (dq0, dk0, dv0, k, v))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_ring_flash.defvjp(_ring_flash_fwd_rule, _ring_flash_bwd_rule)
+
+
 def ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -60,6 +156,7 @@ def ring_attention(
     *,
     axis_name: str,
     scale: Optional[float] = None,
+    impl: str = "auto",
 ) -> jax.Array:
     """Exact attention with K/V rotated around the ``axis_name`` ring.
 
@@ -67,9 +164,17 @@ def ring_attention(
     Each of the n hops computes local-Q × current-K/V-shard attention and
     folds it into the running (max, denom, numerator) carry; ppermute moves
     the K/V shard one ring position per hop.
+
+    impl: 'flash' streams each hop through the Pallas flash kernel (score
+    tiles never in HBM; custom ring backward); 'einsum' is the XLA chunk
+    formulation; 'auto' picks flash when the kernels can tile the shape.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if impl not in ("auto", "flash", "einsum"):
+        raise ValueError(f"Unknown ring impl '{impl}'")
+    if impl == "flash" or (impl == "auto" and _flash_hop_eligible(q, k)):
+        return _ring_flash(q, k, v, float(scale), axis_name)
     n = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
@@ -112,6 +217,7 @@ def sequence_parallel_sdpa(
     mesh: Mesh,
     axis: str = "data",
     scale: Optional[float] = None,
+    impl: str = "auto",
 ) -> jax.Array:
     """Global-array wrapper: tokens sharded over ``axis``, ring under the hood.
 
@@ -123,10 +229,13 @@ def sequence_parallel_sdpa(
     ndim = q.ndim
     spec = P(*([None] * (ndim - 2) + [axis, None]))
     fn = shard_map(
-        functools.partial(ring_attention, axis_name=axis, scale=scale),
+        functools.partial(ring_attention, axis_name=axis, scale=scale, impl=impl),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
+        # see ops/attention.py: pallas interpret mode can't carry vma typing
+        # through the fused hop's kernel internals
+        check_vma=False,
     )
     return fn(q, k, v)
 

@@ -66,6 +66,13 @@ _FLAG_SPEC = [
                                "(default) keeps the first/last denoise steps always-full, recovering "
                                "most of uniform caching's PSNR loss; 'uniform' is classic DeepCache. "
                                "Beyond-reference flag; omit for exact sampling.")),
+    ("--latent_vae", dict(type=str, default=None,
+                          help="Run dir (or config) of a trained VAE: treat the diffusion model's "
+                               "samples as LATENTS and decode them through this VAE before "
+                               "metrics/saving (full latent-diffusion chain: VAE-encode data -> "
+                               "scan-denoise in latent space -> VAE-decode; reference composition "
+                               "src/models/vae/kl.py:118-136). Targets are decoded the same way, "
+                               "so evaluate metrics are pixel-space. Beyond-reference flag.")),
     ("--no_dp_sampling", dict(action="store_true",
                               help="Disable automatic data-parallel sampling over local devices "
                                    "(batch-sharded reverse-process scan; on by default when more "

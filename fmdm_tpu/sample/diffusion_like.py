@@ -84,7 +84,8 @@ def _run_decode(*, ckpt_dir, model_type: str, data_txt=None, save: bool = False,
                 output_dir=None, batch_size: int = 4, device=None, seed: int = 42,
                 num_samples=None, save_input: bool = False, save_conditioning: bool = False,
                 num_inference_steps=None, start_step=None, last_n_steps=None,
-                scheduler=None, save_tensor_cache: bool = False) -> None:
+                scheduler=None, save_tensor_cache: bool = False,
+                latent_vae=None) -> None:
     ckpt_dir = Path(ckpt_dir)
     cfg = load_run_config(ckpt_dir)
     ckpt_path = resolve_checkpoint(ckpt_dir, model_type)
@@ -97,6 +98,7 @@ def _run_decode(*, ckpt_dir, model_type: str, data_txt=None, save: bool = False,
 
     model, params = build_diffusion_model(cfg, ckpt_path=ckpt_path)
     conditioning_mode = resolve_conditioning_mode(training_cfg.get("conditioning") or model_cfg.get("conditioning"))
+    vae_decode = _load_latent_vae(latent_vae)
     rng = jax.random.PRNGKey(seed)
 
     predicted_root = output_root / "predicted" if output_root is not None else None
@@ -113,6 +115,8 @@ def _run_decode(*, ckpt_dir, model_type: str, data_txt=None, save: bool = False,
             start_step=start_step, last_n_steps=last_n_steps,
             scheduler_override=scheduler,
         )
+        if vae_decode is not None:
+            generated = vae_decode(generated)
         generated = np.clip(np.asarray(generated), 0.0, 1.0)
         if predicted_root is not None:
             for batch_idx, sample_idx in enumerate(indices):
@@ -125,11 +129,49 @@ def _run_decode(*, ckpt_dir, model_type: str, data_txt=None, save: bool = False,
     logging.info("%s decode completed for %d samples.", model_type.replace("_", "-").title(), len(selected_indices))
 
 
+def _load_latent_vae(latent_vae):
+    """decode_fn for --latent_vae, or None.
+
+    decode_fn maps latent batches -> [0,1] pixel images through the trained
+    VAE (the reference's latent->image composition, src/models/vae/kl.py:118-136).
+    Accepts '<run_dir>?scale=S' where S is the factor the STORED latents were
+    multiplied by at encode time (e.g. 1/std of the train latents, the
+    LATENT_SCALE generalization for a VAE whose raw latent scale differs from
+    SD's); decode divides it back out before the VAE decoder."""
+    if not latent_vae:
+        return None
+    from fmdm_tpu.sample.vae_utils import build_vae_model, decode_vae_batch
+
+    path = str(latent_vae)
+    scale = 1.0
+    if "?" in path:
+        path, _, qs = path.partition("?")
+        for kv in filter(None, qs.split(",")):
+            key, _, value = kv.partition("=")
+            if key == "scale":
+                scale = float(value)
+            else:
+                raise ValueError(f"Unknown --latent_vae param '{key}'")
+    vae_dir = Path(path)
+    vae_cfg = load_run_config(vae_dir)
+    vae_ckpt = resolve_checkpoint(vae_dir, "vae")
+    vae_model, vae_params = build_vae_model(vae_cfg, ckpt_path=vae_ckpt)
+    recon_type = str(vae_cfg.get("training", {}).get("recon_type", "l1"))
+
+    def decode_fn(latents):
+        raw = jnp.asarray(np.asarray(latents)) / scale
+        return np.asarray(decode_vae_batch(vae_model, vae_params, raw,
+                                           recon_type=recon_type))
+
+    return decode_fn
+
+
 def _run_evaluate(*, ckpt_dir, model_type: str, data_txt=None, save: bool = False,
                   output_dir=None, batch_size: int = 4, device=None, seed: int = 42,
                   num_samples=None, save_input: bool = False, save_conditioning: bool = False,
                   num_inference_steps=None, start_step=None, last_n_steps=None,
-                  scheduler=None, save_tensor_cache: bool = False) -> None:
+                  scheduler=None, save_tensor_cache: bool = False,
+                  latent_vae=None) -> None:
     ckpt_dir = Path(ckpt_dir)
     cfg = load_run_config(ckpt_dir)
     ckpt_path = resolve_checkpoint(ckpt_dir, model_type)
@@ -147,6 +189,7 @@ def _run_evaluate(*, ckpt_dir, model_type: str, data_txt=None, save: bool = Fals
     output_root = (experiment_dir / "samples") if (save and experiment_dir is not None) else resolve_output_root(ckpt_dir, output_dir, save)
     model, params = build_diffusion_model(cfg, ckpt_path=ckpt_path)
     conditioning_mode = resolve_conditioning_mode(training_cfg.get("conditioning") or model_cfg.get("conditioning"))
+    vae_decode = _load_latent_vae(latent_vae)
 
     total_mse = total_psnr = total_ssim = 0.0
     count = ssim_count = 0
@@ -169,8 +212,16 @@ def _run_evaluate(*, ckpt_dir, model_type: str, data_txt=None, save: bool = Fals
             start_step=start_step, last_n_steps=last_n_steps,
             scheduler_override=scheduler,
         )
+        if vae_decode is not None:
+            # full latent-diffusion chain: the denoiser's samples/targets are
+            # latents — decode BOTH through the VAE so metrics are pixel-space
+            # (the target side therefore measures against the VAE recon of the
+            # ground truth, i.e. the chain's actual reachable reference)
+            generated = vae_decode(generated)
+            targets_np = np.clip(vae_decode(targets), 0.0, 1.0)
+        else:
+            targets_np = np.clip(np.asarray(targets), 0.0, 1.0)
         generated = np.clip(np.asarray(generated), 0.0, 1.0)
-        targets_np = np.clip(np.asarray(targets), 0.0, 1.0)
 
         if predicted_root is not None:
             for batch_idx, sample_idx in enumerate(indices):
@@ -258,6 +309,7 @@ def _run_evaluate(*, ckpt_dir, model_type: str, data_txt=None, save: bool = Fals
             "last_n_steps": last_n_steps, "num_samples": num_samples,
             "batch_size": batch_size, "seed": seed, "save": save,
             "save_input": save_input, "save_conditioning": save_conditioning,
+            "latent_vae": None if latent_vae is None else str(latent_vae),
         }
         with (experiment_dir / "run_config.json").open("w") as fh:
             json.dump(run_cfg, fh, indent=2)

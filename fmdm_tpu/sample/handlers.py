@@ -83,7 +83,7 @@ class DiffusionLikeSampler(AbstractSampler):
             **self._common(("ckpt_dir", "data_txt", "save", "output_dir", "batch_size",
                             "device", "seed", "num_samples", "save_input", "save_conditioning",
                             "num_inference_steps", "start_step", "last_n_steps", "scheduler",
-                            "save_tensor_cache")),
+                            "save_tensor_cache", "latent_vae")),
         )
 
     def sample(self):
@@ -95,7 +95,7 @@ class DiffusionLikeSampler(AbstractSampler):
             **self._common(("ckpt_dir", "data_txt", "save", "output_dir", "batch_size",
                             "device", "seed", "num_samples", "save_input", "save_conditioning",
                             "num_inference_steps", "start_step", "last_n_steps", "scheduler",
-                            "save_tensor_cache")),
+                            "save_tensor_cache", "latent_vae")),
         )
 
     def debug_compare(self):

@@ -125,10 +125,11 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
 
     tp = int(training_cfg.get("tensor_parallel", 1) or 1)
     sp = int(training_cfg.get("sequence_parallel", 1) or 1)
-    if jax.process_count() > 1 and (tp > 1 or sp > 1 or bool(training_cfg.get("fsdp", False))):
+    if jax.process_count() > 1 and (tp > 1 or sp > 1):
         raise ValueError(
-            "tensor_parallel/fsdp/sequence_parallel are single-host strategies "
-            "here; multi-host runs use the global data mesh."
+            "tensor_parallel/sequence_parallel are single-host strategies "
+            "here; multi-host runs use the global data mesh (optionally with "
+            "training.fsdp: true to shard state across hosts)."
         )
     if sp > 1 and (tp > 1 or bool(training_cfg.get("fsdp", False))):
         raise ValueError("sequence_parallel composes with plain DP only (set tensor_parallel=1, fsdp=false)")
@@ -162,9 +163,13 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
         # ZeRO-3-style fully-sharded DP (parallel/fsdp.py): parameters and
         # optimizer moments live sliced over the data axis; XLA inserts the
         # just-in-time weight all-gathers and gradient reduce-scatters.
+        # Multi-host: the data axis spans processes (the flagship's realistic
+        # pod configuration — state shards across ALL hosts' devices; each
+        # process feeds its own batch rows; checkpoint gathers go through
+        # mesh_lib.to_host's process_allgather path).
         from fmdm_tpu.parallel import fsdp as fsdp_lib
 
-        mesh = mesh_lib.create_mesh_for_batch(batch_size)
+        mesh = mesh_lib.create_data_mesh(batch_size)
         _place_params = lambda p: fsdp_lib.shard_params_fsdp(p, mesh)
         _place_opt = lambda s, p: fsdp_lib.shard_opt_state_fsdp(s, p, mesh)
     else:
@@ -381,17 +386,29 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
             if improved:
                 logging.info("New best %s loss %.6f -> %s", variant, best_metric, output_dir / f"{prefix}_best.pt")
 
+        visual_epoch = visual_enabled and (epoch % visual_every == 0 or epoch == epochs)
+        # to_host on globally sharded (multi-host FSDP) params is a COLLECTIVE
+        # (process_allgather): every rank must join, so the gather cannot live
+        # inside the rank-0-gated branch below. The cadence is deterministic
+        # across ranks; only the use of the result is rank-gated.
+        host_params_for_visuals = None
+        if visual_epoch and state is None and mesh_lib.spans_processes(mesh):
+            host_params_for_visuals = mesh_lib.to_host(params)
         save_samples = (
-            visual_enabled
+            visual_epoch
             and mesh_lib.is_main_process()
             and visual_targets is not None
-            and (epoch % visual_every == 0 or epoch == epochs)
         )
         if save_samples:
             rng, vis_rng = jax.random.split(rng)
             # host copy of the params (state['model']): the visual probe runs
             # rank-0-only, so it must not touch the global training mesh
-            host_params = state["model"] if state is not None else mesh_lib.to_host(params)
+            if state is not None:
+                host_params = state["model"]
+            elif host_params_for_visuals is not None:
+                host_params = host_params_for_visuals
+            else:
+                host_params = mesh_lib.to_host(params)
             outputs = decode_diffusion_batch(
                 model, host_params, training_cfg, cfg["model"],
                 tuple(visual_targets.shape),

@@ -81,9 +81,12 @@ def tiny_cfg(tmp: Path, epochs: int) -> dict:
     }
 
 
-def gradcheck_step(per_process_batch: int):
+def gradcheck_step(per_process_batch: int, fsdp: bool = False):
     """Build model/optimizer/step exactly as the test's single-process
-    simulation does, returning the post-step parameter checksum."""
+    simulation does, returning the post-step parameter checksum. With
+    ``fsdp`` the parameters/moments live sliced over the global data axis
+    (multi-host ZeRO-3); the update must be numerically identical to
+    replicated DP."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -96,10 +99,16 @@ def gradcheck_step(per_process_batch: int):
     cfg = tiny_cfg(Path("/tmp"), 1)
     model, params = build_diffusion_model(cfg, ckpt_path=None, rng=jax.random.PRNGKey(0))
     mesh = mesh_lib.create_data_mesh(per_process_batch)
-    params = mesh_lib.replicate(mesh, params)
     scheduler = DDPMScheduler.create(num_train_timesteps=50)
     optimizer, _ = make_adamw(1e-3, 0.0, 0, 10)
-    opt_state = mesh_lib.replicate(mesh, optimizer.init(params))
+    if fsdp:
+        from fmdm_tpu.parallel import fsdp as fsdp_lib
+
+        params = fsdp_lib.shard_params_fsdp(params, mesh)
+        opt_state = fsdp_lib.shard_opt_state_fsdp(optimizer.init(params), params, mesh)
+    else:
+        params = mesh_lib.replicate(mesh, params)
+        opt_state = mesh_lib.replicate(mesh, optimizer.init(params))
     step = make_denoise_train_step(
         model, scheduler, optimizer, variant="diffusion",
         conditioning_mode=None, latent_norm=None, grad_accum=1,
@@ -125,7 +134,8 @@ def gradcheck_step(per_process_batch: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
-                    choices=("gradcheck", "batches", "train"))
+                    choices=("gradcheck", "gradcheck_fsdp", "batches",
+                             "train", "train_fsdp"))
     ap.add_argument("--pid", type=int, required=True)
     ap.add_argument("--nproc", type=int, required=True)
     ap.add_argument("--port", required=True)
@@ -148,8 +158,9 @@ def main():
     import numpy as np  # noqa: F401
 
     tmp = Path(args.tmp)
-    if args.mode == "gradcheck":
-        checksum, loss, count = gradcheck_step(per_process_batch=4)
+    if args.mode in ("gradcheck", "gradcheck_fsdp"):
+        checksum, loss, count = gradcheck_step(
+            per_process_batch=4, fsdp=args.mode == "gradcheck_fsdp")
         print(f"RESULT checksum={checksum!r} loss={loss!r} count={count!r}",
               flush=True)
     elif args.mode == "batches":
@@ -162,10 +173,12 @@ def main():
             process_count=jax.process_count()))
         n_valid = sum(int(b["valid"].sum()) for b in batches)
         print(f"RESULT n_batches={len(batches)} n_valid={n_valid}", flush=True)
-    else:  # train
+    else:  # train / train_fsdp
         from fmdm_tpu.train import denoise_lib
 
         cfg = tiny_cfg(tmp, args.epochs)
+        if args.mode == "train_fsdp":
+            cfg["training"]["fsdp"] = True
         if args.resume:
             cfg["training"]["output_dir"] = str(Path(args.resume).parent)
         cfg_path = tmp / f"cfg_p{args.pid}.json"
