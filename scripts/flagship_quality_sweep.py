@@ -177,13 +177,25 @@ def main():
             continue
         with open(exps[-1]) as fh:
             row = list(csv.DictReader(fh))[-1]
+        # 95% CI from the per-image CSV (VERDICT r3 weak #7: don't quote a
+        # 2-decimal PSNR off a thin eval set without dispersion).
+        per_img = exps[-1].parent / "eval_metrics_per_image.csv"
+        if per_img.exists():
+            with open(per_img) as fh:
+                vals = [float(r["psnr"]) for r in csv.DictReader(fh) if r.get("psnr")]
+            if len(vals) > 1:
+                mean = float(np.mean(vals))
+                ci = 1.96 * float(np.std(vals, ddof=1)) / np.sqrt(len(vals))
+                row["psnr_ci95"] = f"{ci:.3f}"
+                row["psnr_mean_check"] = f"{mean:.3f}"
         results[alias] = row
         print(alias, row, flush=True)
 
-    print("\n| sampler | PSNR | SSIM | samples/s (model time) |")
+    print("\n| sampler | PSNR (±95% CI) | SSIM | samples/s (model time) |")
     print("|---|---|---|---|")
     for alias, row in sorted(results.items(), key=lambda kv: -float(kv[1].get("psnr", 0))):
-        print(f"| {alias} | {float(row['psnr']):.2f} | {float(row.get('ssim', 0) or 0):.3f} "
+        ci = f" ± {float(row['psnr_ci95']):.2f}" if row.get("psnr_ci95") else ""
+        print(f"| {alias} | {float(row['psnr']):.2f}{ci} | {float(row.get('ssim', 0) or 0):.3f} "
               f"| {float(row.get('model_samples_per_second', 0)):.1f} |")
 
 
