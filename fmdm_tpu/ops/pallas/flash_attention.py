@@ -314,7 +314,7 @@ def flash_forward_partials(
     lead = q.shape[:-2]
     tq, d = q.shape[-2:]
     tk = k.shape[-2]
-    bk = pick_block_k(min(block_k, tk))
+    bk = pick_block_k(tk, cap=block_k)
     if tk % bk != 0:
         raise ValueError("flash_forward_partials requires block_k | KV length")
     q3 = q.reshape((-1, tq, d))
@@ -350,7 +350,7 @@ def flash_backward_chunk(
     out3 = out.reshape((-1, tq, v.shape[-1]))
     lse3 = lse.reshape((-1, tq, 1)).astype(jnp.float32)
     g3 = g.reshape((-1, tq, v.shape[-1]))
-    bk = pick_block_k(min(DEFAULT_BLOCK_K, tk))
+    bk = pick_block_k(tk)
     if tk % bk == 0 and bk % _LANES == 0:
         dq, dk, dv = _flash_backward_pallas(
             q3, k3, v3, out3, lse3, g3, float(scale),

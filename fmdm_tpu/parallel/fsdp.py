@@ -30,6 +30,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from fmdm_tpu.parallel.mesh import spans_processes as _spans_processes
+
 
 def fsdp_leaf_spec(shape, axis_size: int, axis: str = "data") -> P:
     """Slice the largest axis-divisible dim over ``axis``; else replicate."""
@@ -51,11 +53,6 @@ def fsdp_param_specs(params, mesh: Mesh, axis: str = "data"):
         return fsdp_leaf_spec(np.shape(leaf), axis_size, axis)
 
     return jax.tree_util.tree_map(spec, params)
-
-
-def _spans_processes(mesh: Mesh) -> bool:
-    me = jax.process_index()
-    return any(d.process_index != me for d in mesh.devices.flat)
 
 
 def _put(leaf, mesh: Mesh, spec: P):

@@ -153,12 +153,16 @@ def _scheduler_fingerprint(scheduler) -> Tuple:
         v = getattr(scheduler, f.name)
         if isinstance(v, (int, float, str, bool, frozenset, tuple, type(None))):
             items.append((f.name, v))
-        else:
-            # derived numpy tables: shape/dtype suffices — their values are a
-            # function of the scalar fields already in the key
+        elif hasattr(v, "tobytes"):
+            # derived numpy tables: content hash — some constructor params
+            # (beta_start/beta_end/beta_schedule) live ONLY in these arrays,
+            # so shape/dtype alone would collide across beta overrides
             items.append((f.name, (type(v).__name__,
                                    tuple(getattr(v, "shape", ()) or ()),
-                                   str(getattr(v, "dtype", "")))))
+                                   str(getattr(v, "dtype", "")),
+                                   hash(v.tobytes()))))
+        else:
+            items.append((f.name, (type(v).__name__, id(v))))
     return tuple(items)
 
 # Runtime DeepCache setting for the eval/sampling surface (run_model

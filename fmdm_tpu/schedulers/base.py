@@ -78,20 +78,26 @@ def spaced_timesteps_trailing(num_train: int, num_inference: int) -> np.ndarray:
 
 def spaced_timesteps(
     spacing: str, num_train: int, num_inference: int, steps_offset: int = 0,
-    linspace_endpoint: bool = False,
+    ddim_conventions: bool = False,
 ) -> np.ndarray:
     """Dispatch on diffusers `timestep_spacing`; `steps_offset` applies to
     'leading' only (diffusers semantics: linspace/trailing ignore it).
 
-    diffusers has TWO 'linspace' conventions: DPM-Solver/UniPC sample n+1
-    points and drop the last; DDPM/DDIM sample n points including the
-    endpoint (`linspace_endpoint=True`)."""
+    diffusers has TWO spacing-convention FAMILIES for linspace AND leading:
+    the DDPM/DDIM family (`ddim_conventions=True`) samples n points (linspace
+    includes the endpoint; leading uses ratio N//n); the DPM-Solver/UniPC
+    family samples n+1 points and drops the last (linspace over [0, N-1];
+    leading uses ratio N//(n+1)). 'trailing' is identical in both."""
     if spacing == "linspace":
-        if linspace_endpoint:
+        if ddim_conventions:
             return np.linspace(0, num_train - 1, num_inference).round()[::-1].copy().astype(np.int64)
         return spaced_timesteps_linspace(num_train, num_inference)
     if spacing == "leading":
-        return spaced_timesteps_leading(num_train, num_inference) + int(steps_offset)
+        if ddim_conventions:
+            return spaced_timesteps_leading(num_train, num_inference) + int(steps_offset)
+        ratio = num_train // (num_inference + 1)
+        t = (np.arange(0, num_inference + 1) * ratio).round()[::-1][:-1].copy()
+        return t.astype(np.int64) + int(steps_offset)
     if spacing == "trailing":
         return spaced_timesteps_trailing(num_train, num_inference)
     raise ValueError(

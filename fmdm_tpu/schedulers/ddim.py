@@ -92,7 +92,7 @@ class DDIMScheduler(Scheduler):
         object.__setattr__(self, "num_inference_steps", num_inference_steps)
         return spaced_timesteps(
             self.timestep_spacing, self.num_train_timesteps,
-            num_inference_steps, self.steps_offset, linspace_endpoint=True)
+            num_inference_steps, self.steps_offset, ddim_conventions=True)
 
     @property
     def needs_noise(self) -> bool:

@@ -159,15 +159,19 @@ class DPMSolverMultistepScheduler(Scheduler):
             num_inference_steps, self.steps_offset)
         if self.use_karras_sigmas:
             # diffusers: replace the table sigmas at the spaced timesteps by a
-            # Karras rho-7 ramp between the SELECTED schedule's extremes, then
-            # map each Karras sigma back to a (rounded) integer timestep for
-            # model conditioning. The continuous sigmas are stashed — step()
-            # must use them, not the table values at the rounded timesteps.
+            # Karras rho-7 ramp between the FULL training table's extremes
+            # (set_timesteps flips the whole sigma table into
+            # _convert_to_karras, so sigma_min/max are sigma(t=0)/sigma(t=N-1),
+            # NOT the selected schedule's extremes — unlike DPMSolverSDE, which
+            # interpolates first), then map each Karras sigma back to a
+            # (rounded) integer timestep for model conditioning. The continuous
+            # sigmas are stashed — step() must use them, not the table values
+            # at the rounded timesteps.
             acp = np.asarray(self.alphas_cumprod, np.float64)
             all_sigmas = np.sqrt((1.0 - acp) / acp)
             log_sigmas = np.log(all_sigmas)
-            sel = all_sigmas[timesteps]  # descending in sigma
-            sigmas = karras_sigmas(float(sel[-1]), float(sel[0]), num_inference_steps)
+            sigmas = karras_sigmas(float(all_sigmas[0]), float(all_sigmas[-1]),
+                                   num_inference_steps)
             timesteps = sigma_to_t(sigmas, log_sigmas).round().astype(np.int64)
             object.__setattr__(self, "_karras_sigmas", sigmas)
         else:

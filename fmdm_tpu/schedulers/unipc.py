@@ -153,11 +153,12 @@ class UniPCMultistepScheduler(Scheduler):
             self.timestep_spacing, self.num_train_timesteps,
             num_inference_steps, self.steps_offset)
         if self.use_karras_sigmas:
-            # same Karras remap as DPM-Solver multistep (see dpm.py)
+            # same Karras remap as DPM-Solver multistep (see dpm.py):
+            # full-table sigma extremes, not the selected schedule's
             acp = np.asarray(self.alphas_cumprod, np.float64)
             all_sigmas = np.sqrt((1.0 - acp) / acp)
-            sel = all_sigmas[timesteps]
-            sigmas = karras_sigmas(float(sel[-1]), float(sel[0]), num_inference_steps)
+            sigmas = karras_sigmas(float(all_sigmas[0]), float(all_sigmas[-1]),
+                                   num_inference_steps)
             timesteps = sigma_to_t(sigmas, np.log(all_sigmas)).round().astype(np.int64)
             object.__setattr__(self, "_karras_sigmas", sigmas)
         else:

@@ -394,13 +394,19 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
         host_params_for_visuals = None
         if visual_epoch and state is None and mesh_lib.spans_processes(mesh):
             host_params_for_visuals = mesh_lib.to_host(params)
+        # Split the host RNG on EVERY rank on visual epochs (the cadence is
+        # deterministic across ranks) — splitting inside the rank-0-gated
+        # branch would advance rank 0's stream only, feeding divergent
+        # step_rng values into the global-mesh train_step on later epochs.
+        vis_rng = None
+        if visual_epoch:
+            rng, vis_rng = jax.random.split(rng)
         save_samples = (
             visual_epoch
             and mesh_lib.is_main_process()
             and visual_targets is not None
         )
         if save_samples:
-            rng, vis_rng = jax.random.split(rng)
             # host copy of the params (state['model']): the visual probe runs
             # rank-0-only, so it must not touch the global training mesh
             if state is not None:

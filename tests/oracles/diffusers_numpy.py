@@ -43,13 +43,17 @@ def _betas(schedule: str, n: int, start: float, end: float) -> np.ndarray:
 
 def _spaced_timesteps(spacing, N, n, steps_offset=0, linspace_endpoint=True):
     # diffusers timestep_spacing dispatch (leading default for DDPM/DDIM).
-    # linspace_endpoint=True is the DDPM/DDIM n-point convention;
-    # DPM-Solver/UniPC use the n+1-points-drop-last convention.
+    # linspace_endpoint=True is the DDPM/DDIM n-point convention for BOTH
+    # linspace and leading; DPM-Solver/UniPC use the n+1-points-drop-last
+    # convention for both.
     if spacing == "linspace":
         if not linspace_endpoint:
             return np.linspace(0, N - 1, n + 1).round()[::-1][:-1].copy().astype(np.int64)
         return np.linspace(0, N - 1, n).round()[::-1].copy().astype(np.int64)
     if spacing == "leading":
+        if not linspace_endpoint:
+            ratio = N // (n + 1)
+            return (np.arange(n + 1) * ratio).round()[::-1][:-1].astype(np.int64) + steps_offset
         ratio = N // n
         return (np.arange(n) * ratio).round()[::-1].astype(np.int64) + steps_offset
     if spacing == "trailing":
@@ -259,9 +263,10 @@ class NpDPMSolverMultistep:
         all_sigmas = ((1 - self.acp) / self.acp) ** 0.5
         sigmas = all_sigmas[self.timesteps]
         if self.use_karras_sigmas:
-            # diffusers: Karras rho-7 ramp between the selected schedule's
-            # extremes; timesteps re-derived by log-sigma interpolation
-            sigmas = _karras_ramp(float(sigmas[-1]), float(sigmas[0]), n)
+            # diffusers: Karras rho-7 ramp between the FULL table's extremes
+            # (the whole flipped sigma table goes into _convert_to_karras);
+            # timesteps re-derived by log-sigma interpolation
+            sigmas = _karras_ramp(float(all_sigmas[0]), float(all_sigmas[-1]), n)
             log_sigmas = np.log(all_sigmas)
             self.timesteps = np.array(
                 [_np_sigma_to_t(s, log_sigmas) for s in sigmas]).round().astype(np.int64)
@@ -439,7 +444,8 @@ class NpUniPC:
         all_sigmas = ((1 - self.acp) / self.acp) ** 0.5
         sigmas = all_sigmas[self.timesteps]
         if self.use_karras_sigmas:
-            sigmas = _karras_ramp(float(sigmas[-1]), float(sigmas[0]), n)
+            # full-table extremes, as in NpDPMSolverMultistep
+            sigmas = _karras_ramp(float(all_sigmas[0]), float(all_sigmas[-1]), n)
             log_sigmas = np.log(all_sigmas)
             self.timesteps = np.array(
                 [_np_sigma_to_t(s, log_sigmas) for s in sigmas]).round().astype(np.int64)
