@@ -107,12 +107,22 @@ def build_diffusion_model(cfg: dict, ckpt_path=None, rng: Optional[jax.Array] = 
     if ckpt_path is not None:
         ckpt_path = str(ckpt_path)
         if ckpt_path.endswith(".safetensors"):
+            if _USE_EMA:
+                raise ValueError("--use_ema is unsupported for flat .safetensors "
+                                 "checkpoints (no 'ema' tree).")
             from safetensors.numpy import load_file as safe_load_file
 
             state = dict(safe_load_file(ckpt_path))
         else:
             payload = load_checkpoint(ckpt_path)
-            model_tree = payload.get("model", payload)
+            if _USE_EMA:
+                model_tree = payload.get("ema") if isinstance(payload, dict) else None
+                if model_tree is None:
+                    raise ValueError(
+                        f"--use_ema requested but checkpoint {ckpt_path} carries no "
+                        "'ema' tree (train with training.ema_decay > 0).")
+            else:
+                model_tree = payload.get("model", payload)
             state = flatten_params(model_tree) if isinstance(model_tree, dict) else model_tree
             state = {k: np.asarray(v) for k, v in state.items() if not isinstance(v, dict)}
         load_legacy = bool(model_cfg.get("load_legacy", False))
@@ -176,6 +186,17 @@ _DEEP_CACHE: Optional[Tuple[int, int]] = None
 def set_deep_cache(value: Optional[Tuple[int, int]]) -> None:
     global _DEEP_CACHE
     _DEEP_CACHE = tuple(value) if value else None
+
+
+# Sample from the EMA shadow weights (run_model --use_ema; beyond reference —
+# checkpoints carry an "ema" tree when trained with training.ema_decay).
+# Module-level for the same reason as _DEEP_CACHE above.
+_USE_EMA = False
+
+
+def set_use_ema(enabled: bool) -> None:
+    global _USE_EMA
+    _USE_EMA = bool(enabled)
 
 
 # Data-parallel sampling (beyond reference — the torch sampler is single-GPU,

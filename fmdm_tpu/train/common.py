@@ -198,8 +198,16 @@ def make_denoise_train_step(
     compute_dtype=jnp.float32,
     mesh=None,
     remat: bool = False,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Build the jitted train step.
+
+    ema_decay > 0 (beyond-reference; the torch reference tracks EMA only for
+    VQ codebooks, never model weights) switches the step signature to
+    ``(params, opt_state, ema, batch, rng) -> (params, opt_state, ema,
+    loss_sum, count)``: after the optimizer update the shadow weights follow
+    ``ema += (1 - decay) * (params - ema)`` — elementwise, so it preserves
+    whatever sharding (DP/TP/FSDP) the live params carry.
 
     Per accumulation chunk (reference diffusion_lib.py:153-179 /
     flow_matching_lib.py:150-177):
@@ -307,6 +315,19 @@ def make_denoise_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_sum, count
+
+    if ema_decay:
+        decay = float(ema_decay)
+        if not 0.0 < decay < 1.0:
+            raise ValueError(f"ema_decay must be in (0, 1), got {decay}")
+
+        def train_step_ema(params, opt_state, ema, batch, rng):
+            params, opt_state, loss_sum, count = train_step(params, opt_state, batch, rng)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e + (1.0 - decay) * (p.astype(e.dtype) - e), ema, params)
+            return params, opt_state, ema, loss_sum, count
+
+        return jax.jit(train_step_ema, donate_argnums=(0, 1, 2))
 
     return jax.jit(train_step, donate_argnums=(0, 1))
 

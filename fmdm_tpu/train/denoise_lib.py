@@ -102,6 +102,12 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
             save_model_epochs, checkpoint_every, checkpoint_every,
         )
     grad_accum = max(1, int(training_cfg.get("gradient_accumulation_steps", 1)))
+    # Beyond-reference: exponential moving average of the model weights
+    # (training.ema_decay in (0,1); 0/absent = off = reference behavior).
+    # Sampling from the shadow weights is the standard diffusion quality
+    # lever the torch reference lacks (it EMAs only VQ codebooks,
+    # /root/reference/src/nn/modules/vae/codebook.py).
+    ema_decay = float(training_cfg.get("ema_decay", 0.0) or 0.0)
     lr_warmup = int(training_cfg.get("lr_warmup_steps", 500))
     latent_norm = training_cfg.get("latent_norm")
     mixed = str(training_cfg.get("mixed_precision", "no")).lower()
@@ -192,6 +198,8 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
         math.ceil(len(dataset) / jax.process_count()) / batch_size)
     optimizer, _ = make_adamw(lr, weight_decay, lr_warmup, num_train_steps)
     opt_state = _place_opt(optimizer.init(params), params)
+    # shadow weights start as a copy of the live params (same shardings)
+    ema_params = jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None
 
     def _build_train_step(accum: int):
         return make_denoise_train_step(
@@ -199,6 +207,7 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
             variant=variant, conditioning_mode=conditioning_mode, latent_norm=latent_norm,
             grad_accum=accum, compute_dtype=compute_dtype, mesh=mesh,
             remat=bool(training_cfg.get("remat", False)),
+            ema_decay=ema_decay,
         )
 
     def _trial_compile(step, _accum):
@@ -218,7 +227,10 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
             "image": _aval(cond_value) if cond_value is not None else None,
             "valid": jax.ShapeDtypeStruct((global_bs,), jnp.float32, sharding=batch_sh),
         }
-        step.lower(params, opt_state, probe, jax.random.PRNGKey(0)).compile()
+        if ema_decay:
+            step.lower(params, opt_state, ema_params, probe, jax.random.PRNGKey(0)).compile()
+        else:
+            step.lower(params, opt_state, probe, jax.random.PRNGKey(0)).compile()
 
     from fmdm_tpu.train.common import autotune_grad_accum
 
@@ -260,6 +272,13 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
         params = _place_params(params)
         if payload.get("optimizer") is not None:
             opt_state = _place_opt(payload["optimizer"], params)
+        if ema_decay:
+            # checkpoints written without EMA (or pre-EMA runs) restart the
+            # shadow from the resumed live weights
+            ema_tree = payload.get("ema")
+            ema_params = (_place_params(jax.tree_util.tree_map(jnp.asarray, ema_tree))
+                          if ema_tree is not None
+                          else jax.tree_util.tree_map(jnp.copy, params))
         start_epoch = int(payload.get("epoch", 0)) + 1
         best_metric = float(payload.get("best_metric", float("inf")))
         logging.info("Resumed from %s at epoch %d", resume_flag, start_epoch)
@@ -329,7 +348,11 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
                 "valid": mesh_lib.shard_batch(mesh, batch["valid"]),
             }
             rng, step_rng = jax.random.split(rng)
-            params, opt_state, loss_sum, count = train_step(params, opt_state, placed, step_rng)
+            if ema_decay:
+                params, opt_state, ema_params, loss_sum, count = train_step(
+                    params, opt_state, ema_params, placed, step_rng)
+            else:
+                params, opt_state, loss_sum, count = train_step(params, opt_state, placed, step_rng)
             pending.append((loss_sum, count))
             if len(pending) > 1:
                 _drain_one()
@@ -374,6 +397,8 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
                 "epoch": epoch,
                 "best_metric": best_metric,
             }
+            if ema_decay:
+                state["ema"] = mesh_lib.to_host(ema_params)
 
         if mesh_lib.is_main_process() and state is not None:
             # one serialization; best/epoch copies are hardlink clones
@@ -393,7 +418,7 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
         # across ranks; only the use of the result is rank-gated.
         host_params_for_visuals = None
         if visual_epoch and state is None and mesh_lib.spans_processes(mesh):
-            host_params_for_visuals = mesh_lib.to_host(params)
+            host_params_for_visuals = mesh_lib.to_host(ema_params if ema_decay else params)
         # Split the host RNG on EVERY rank on visual epochs (the cadence is
         # deterministic across ranks) — splitting inside the rank-0-gated
         # branch would advance rank 0's stream only, feeding divergent
@@ -407,14 +432,15 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
             and visual_targets is not None
         )
         if save_samples:
-            # host copy of the params (state['model']): the visual probe runs
+            # host copy of the params (state['model'], or the EMA shadow when
+            # enabled — that is what sampling will use): the visual probe runs
             # rank-0-only, so it must not touch the global training mesh
             if state is not None:
-                host_params = state["model"]
+                host_params = state["ema"] if ema_decay else state["model"]
             elif host_params_for_visuals is not None:
                 host_params = host_params_for_visuals
             else:
-                host_params = mesh_lib.to_host(params)
+                host_params = mesh_lib.to_host(ema_params if ema_decay else params)
             outputs = decode_diffusion_batch(
                 model, host_params, training_cfg, cfg["model"],
                 tuple(visual_targets.shape),
