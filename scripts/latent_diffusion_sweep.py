@@ -147,7 +147,7 @@ def encode_latents(vae_run: Path, pixel_root: Path, latent_root: Path) -> float:
     scale = None
     for split in ("train", "test"):
         ds = LDCTDataset(pixel_root, train=(split == "train"), img_size=256,
-                         conditioning=True, use_tensor_cache=False,
+                         load_ldct=True, use_tensor_cache=False,
                          preprocess_kwargs=preprocess_kwargs)
         rows, targets, conds = [], [], []
         for i in range(len(ds)):
@@ -223,21 +223,24 @@ def main():
             gen_dataset(pixel_root, n_train_cases=16, n_test_cases=6)
             print("pixel dataset generated", flush=True)
 
+    # each stage auto-skips when its artifact already exists (restart resilience)
     vae_cfg = write_vae_config(root, pixel_root, args.vae_epochs)
-    if not args.skip_vae:
+    have_vae = any(root.glob("vae_run*/vae_last.pt"))
+    if not args.skip_vae and not have_vae:
         run([sys.executable, REPO / "train.py", "--config", vae_cfg],
             root / "train_vae.log")
     vae_run = newest_run(root / "vae_run")
     print("vae_run:", vae_run, flush=True)
 
     latent_root = root / "latents"
-    if not args.skip_encode:
+    if not args.skip_encode and not (latent_root / "latent_scale.json").exists():
         scale = encode_latents(vae_run, pixel_root, latent_root)
     else:
         scale = json.loads((latent_root / "latent_scale.json").read_text())["scale"]
 
     diff_cfg = write_diff_config(root, latent_root, args.diff_epochs)
-    if not args.skip_diff:
+    have_diff = any(root.glob("diff_run*/diff_last.pt"))
+    if not args.skip_diff and not have_diff:
         run([sys.executable, REPO / "train.py", "--config", diff_cfg],
             root / "train_diff.log")
     diff_run = newest_run(root / "diff_run")
