@@ -14,6 +14,9 @@ Stages (all sequential — the axon TPU tunnel is single-client):
   5. convergence curve (epoch snapshots × 3 samplers)
   6. latent-diffusion chain sweep (VERDICT r3 item 5 / BASELINE configs[4])
   7. ring-hop bench + bench.py
+  8. EMA continuation: resume the diffusion flagship +200 epochs with
+     training.ema_decay=0.999, then evaluate live vs --use_ema weights
+     (ddim / dpmsolver++ / thresholded, 144 samples)
 
 Usage: python scripts/r4_pipeline.py [--stage N] (default: run all remaining)
 """
@@ -137,12 +140,51 @@ def main():
         print((ROOT / "latent_sweep.log").read_text()[-2500:])
 
     if want(7):
-        print("=== [7/7] ring-hop bench + bench.py", flush=True)
+        print("=== [7/8] ring-hop bench + bench.py", flush=True)
         sh([sys.executable, REPO / "scripts/bench_ring_hop.py"],
            ROOT / "ring_hop.log")
         print((ROOT / "ring_hop.log").read_text()[-1500:])
         sh([sys.executable, REPO / "bench.py"], ROOT / "bench.log")
         print((ROOT / "bench.log").read_text()[-500:])
+
+    if want(8):
+        print("=== [8/8] EMA continuation (+200 epochs at ema_decay=0.999)", flush=True)
+        run_dir = latest_run_dir("diffusion")
+        if run_dir is None:
+            raise SystemExit("stage 8 needs the stage-2 diffusion run")
+        done = trained_epochs(run_dir, "diff")
+        if done < 1000:
+            cfg = write_config(ROOT, 1000, "diffusion", ckpt_every=100)
+            j = json.loads(Path(cfg).read_text())
+            j["training"]["output_dir"] = str(run_dir)
+            j["training"]["ema_decay"] = 0.999
+            ema_cfg = Path(cfg).with_name("flagship_ema_continuation.json")
+            ema_cfg.write_text(json.dumps(j, indent=2))
+            sh([sys.executable, REPO / "train.py", "--config", ema_cfg,
+                "--resume", run_dir / "diff_last.pt"],
+               ROOT / "train_ema.log")
+        else:
+            print(f"[ema] already trained to epoch {done} — skip", flush=True)
+        for alias in ("ddim", "dpmsolver++", "dpmsolver++?thresholding=true"):
+            for ema_flag in (False, True):
+                tag = alias.replace("+", "p").replace("?", "_").replace("=", "-")
+                tag += "_ema" if ema_flag else "_live"
+                cmd = [sys.executable, REPO / "run_model.py",
+                       "--ckpt_dir", run_dir, "--mode", "evaluate",
+                       "--scheduler", alias, "--num_inference_steps", 50,
+                       "--num_samples", 144, "--batch_size", 16,
+                       "--output_dir", ROOT / "ema_eval" / tag, "--seed", 11]
+                if ema_flag:
+                    cmd.append("--use_ema")
+                sh(cmd, ROOT / f"ema_eval_{tag}.log")
+                import csv
+                exps = sorted((ROOT / "ema_eval" / tag).glob("**/eval_metrics.csv"),
+                              key=lambda p: p.stat().st_mtime)
+                if exps:
+                    with open(exps[-1]) as fh:
+                        row = list(csv.DictReader(fh))[-1]
+                    print(f"{tag}: psnr={row.get('psnr')} ssim={row.get('ssim')} "
+                          f"ci95={row.get('psnr_ci95')}", flush=True)
 
     print("=== pipeline complete", flush=True)
 
