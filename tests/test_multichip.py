@@ -368,3 +368,65 @@ def test_trainer_accepts_fsdp_flag(tmp_path):
     run_dir = train(ds, cfg_path)
     lines = (run_dir / "metrics.csv").read_text().strip().splitlines()
     assert len(lines) >= 2 and np.isfinite(float(lines[-1].split(",")[1]))
+
+
+def test_ema_shadow_consistent_across_device_counts():
+    """training.ema_decay composes with the DP mesh: the EMA update is
+    elementwise over the (replicated) params, so 1-device and 8-device runs
+    must produce the same shadow weights, and the shadow must equal the
+    recurrence ema = decay*ema + (1-decay)*params over the live trajectory."""
+    from fmdm_tpu.models.factories import DiffusionUNetFactory
+    from fmdm_tpu.nn.module import flatten_params
+    from fmdm_tpu.schedulers import DDPMScheduler
+    from fmdm_tpu.train.common import make_adamw, make_denoise_train_step
+
+    unet = {
+        "unet_impl": "diffusers_nd", "in_channels": 1, "out_channels": 1,
+        "layers_per_block": 1, "block_out_channels": [8, 8], "norm_num_groups": 4,
+        "down_block_types": ["DownBlock2D", "DownBlock2D"],
+        "up_block_types": ["UpBlock2D", "UpBlock2D"],
+    }
+    model = DiffusionUNetFactory().build(unet, None, 1)
+    init_params = model.init(jax.random.PRNGKey(0))
+    sched = DDPMScheduler.create(num_train_timesteps=20)
+    opt, _ = make_adamw(1e-2, 0.0, 0, 100)
+    decay = 0.5
+
+    batch = {
+        "target": jnp.tile(jnp.linspace(0, 1, 64).reshape(1, 1, 8, 8), (8, 1, 1, 1)),
+        "image": None,
+        "valid": jnp.ones((8,), jnp.float32),
+    }
+    rng = jax.random.PRNGKey(3)
+
+    results = []
+    for n_dev in (1, 8):
+        mesh = create_mesh(n_dev)
+        params = replicate(mesh, jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), init_params))
+        opt_state = replicate(mesh, opt.init(params))
+        ema = replicate(mesh, jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), init_params))
+        step = make_denoise_train_step(
+            model, sched, opt, variant="diffusion", conditioning_mode=None,
+            latent_norm=None, mesh=mesh, ema_decay=decay)
+        placed = {
+            "target": shard_batch(mesh, batch["target"]),
+            "image": None,
+            "valid": shard_batch(mesh, batch["valid"]),
+        }
+        for _ in range(2):
+            params, opt_state, ema, _, _ = step(params, opt_state, ema, placed, rng)
+        results.append((jax.tree_util.tree_map(np.asarray, params),
+                        jax.tree_util.tree_map(np.asarray, ema)))
+
+    (p1, e1), (p8, e8) = results
+    fe1, fe8 = flatten_params(e1), flatten_params(e8)
+    for k in fe1:
+        np.testing.assert_allclose(fe1[k], fe8[k], rtol=5e-2, atol=1e-3, err_msg=k)
+    # shadow lags the live params and sits between init and live
+    fp1, fi = flatten_params(p1), flatten_params(init_params)
+    moved = [k for k in fp1 if not np.allclose(fp1[k], np.asarray(fi[k]))]
+    assert moved, "params never moved"
+    k = moved[0]
+    assert not np.allclose(fe1[k], fp1[k]), "EMA tracked live params exactly"
