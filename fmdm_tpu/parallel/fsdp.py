@@ -30,7 +30,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fmdm_tpu.parallel.mesh import spans_processes as _spans_processes
+from fmdm_tpu.parallel.mesh import put_with_spec as _put_with_spec
 
 
 def fsdp_leaf_spec(shape, axis_size: int, axis: str = "data") -> P:
@@ -56,23 +56,8 @@ def fsdp_param_specs(params, mesh: Mesh, axis: str = "data"):
 
 
 def _put(leaf, mesh: Mesh, spec: P):
-    """Place a value with the given sharding, multi-host aware.
-
-    On a multi-host mesh plain device_put cannot target non-addressable
-    shards. Host values: every process holds the SAME copy (same-seed init or
-    same checkpoint file — the replicate() contract in parallel/mesh.py), so
-    each process materializes its addressable shards from its local copy.
-    Already-global jax.Arrays (e.g. optimizer moments created by
-    optax init on FSDP-sharded params): reshard through an identity jit —
-    a collective all ranks run in lockstep."""
-    sharding = NamedSharding(mesh, spec)
-    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
-        return jax.jit(lambda x: x, out_shardings=sharding)(leaf)
-    if _spans_processes(mesh):
-        x = np.asarray(leaf)
-        return jax.make_array_from_callback(x.shape, sharding,
-                                            lambda idx, x=x: x[idx])
-    return jax.device_put(leaf, sharding)
+    """Multi-host-aware placement — shared helper in parallel/mesh.py."""
+    return _put_with_spec(leaf, mesh, spec)
 
 
 def shard_params_fsdp(params, mesh: Mesh, axis: str = "data"):

@@ -137,6 +137,26 @@ def replicate(mesh: Optional[Mesh], tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def put_with_spec(leaf, mesh: Mesh, spec) -> jax.Array:
+    """Place a value with the given PartitionSpec, multi-host aware.
+
+    On a multi-host mesh plain device_put cannot target non-addressable
+    shards. Host values: every process holds the SAME copy (same-seed init or
+    same checkpoint file — the replicate() contract above), so each process
+    materializes its addressable shards from its local copy. Already-global
+    jax.Arrays (e.g. optimizer moments created by optax init on sharded
+    params): reshard through an identity jit — a collective all ranks run in
+    lockstep."""
+    sharding = NamedSharding(mesh, spec)
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        return jax.jit(lambda x: x, out_shardings=sharding)(leaf)
+    if spans_processes(mesh):
+        x = np.asarray(leaf)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx, x=x: x[idx])
+    return jax.device_put(leaf, sharding)
+
+
 def pad_batch_to_multiple(arrays, multiple: int):
     """Pad the leading dim so it divides the mesh size; returns (padded, real_count).
 

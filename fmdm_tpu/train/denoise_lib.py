@@ -131,9 +131,9 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
 
     tp = int(training_cfg.get("tensor_parallel", 1) or 1)
     sp = int(training_cfg.get("sequence_parallel", 1) or 1)
-    if jax.process_count() > 1 and (tp > 1 or sp > 1):
+    if jax.process_count() > 1 and sp > 1:
         raise ValueError(
-            "tensor_parallel/sequence_parallel are single-host strategies "
+            "sequence_parallel is a single-host strategy "
             "here; multi-host runs use the global data mesh (optionally with "
             "training.fsdp: true to shard state across hosts)."
         )
@@ -152,17 +152,14 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
         _place_params = lambda p: mesh_lib.replicate(mesh, p)
         _place_opt = lambda s, p: mesh_lib.replicate(mesh, s)
     elif tp > 1:
-        # dp x tp mesh: GSPMD output-channel sharding (parallel/tp.py); the
-        # data axis is the largest batch divisor the remaining devices allow.
+        # dp x tp mesh: GSPMD output-channel sharding (parallel/tp.py).
+        # Single-host: the data axis is the largest batch divisor the
+        # remaining devices allow. Multi-host (since r4): the model axis is
+        # intra-process (weight collectives on ICI) and the data axis spans
+        # processes — each feeds its own batch_size rows, true-DDP style.
         from fmdm_tpu.parallel import tp as tp_lib
 
-        n_dev = len(jax.devices())
-        if n_dev % tp != 0:
-            raise ValueError(f"tensor_parallel={tp} must divide the device count {n_dev}")
-        n_data = n_dev // tp
-        while n_data > 1 and batch_size % n_data != 0:
-            n_data -= 1
-        mesh = tp_lib.create_dp_tp_mesh(n_data, tp)
+        mesh = tp_lib.create_dp_tp_mesh_global(batch_size, tp)
         _place_params = lambda p: tp_lib.shard_params_tp(p, mesh)
         _place_opt = lambda s, p: tp_lib.shard_opt_state_tp(s, p, mesh)
     elif bool(training_cfg.get("fsdp", False)):

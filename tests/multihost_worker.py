@@ -81,12 +81,13 @@ def tiny_cfg(tmp: Path, epochs: int) -> dict:
     }
 
 
-def gradcheck_step(per_process_batch: int, fsdp: bool = False):
+def gradcheck_step(per_process_batch: int, fsdp: bool = False, tp: int = 1):
     """Build model/optimizer/step exactly as the test's single-process
     simulation does, returning the post-step parameter checksum. With
     ``fsdp`` the parameters/moments live sliced over the global data axis
-    (multi-host ZeRO-3); the update must be numerically identical to
-    replicated DP."""
+    (multi-host ZeRO-3); with ``tp`` > 1 weights slice over an intra-process
+    model axis (multi-host dp × tp). Either way the update must be
+    numerically identical to replicated DP."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -98,15 +99,22 @@ def gradcheck_step(per_process_batch: int, fsdp: bool = False):
 
     cfg = tiny_cfg(Path("/tmp"), 1)
     model, params = build_diffusion_model(cfg, ckpt_path=None, rng=jax.random.PRNGKey(0))
-    mesh = mesh_lib.create_data_mesh(per_process_batch)
     scheduler = DDPMScheduler.create(num_train_timesteps=50)
     optimizer, _ = make_adamw(1e-3, 0.0, 0, 10)
-    if fsdp:
+    if tp > 1:
+        from fmdm_tpu.parallel import tp as tp_lib
+
+        mesh = tp_lib.create_dp_tp_mesh_global(per_process_batch, tp)
+        params = tp_lib.shard_params_tp(params, mesh)
+        opt_state = tp_lib.shard_opt_state_tp(optimizer.init(params), params, mesh)
+    elif fsdp:
         from fmdm_tpu.parallel import fsdp as fsdp_lib
 
+        mesh = mesh_lib.create_data_mesh(per_process_batch)
         params = fsdp_lib.shard_params_fsdp(params, mesh)
         opt_state = fsdp_lib.shard_opt_state_fsdp(optimizer.init(params), params, mesh)
     else:
+        mesh = mesh_lib.create_data_mesh(per_process_batch)
         params = mesh_lib.replicate(mesh, params)
         opt_state = mesh_lib.replicate(mesh, optimizer.init(params))
     step = make_denoise_train_step(
@@ -134,8 +142,8 @@ def gradcheck_step(per_process_batch: int, fsdp: bool = False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
-                    choices=("gradcheck", "gradcheck_fsdp", "batches",
-                             "train", "train_fsdp"))
+                    choices=("gradcheck", "gradcheck_fsdp", "gradcheck_tp",
+                             "batches", "train", "train_fsdp", "train_tp"))
     ap.add_argument("--pid", type=int, required=True)
     ap.add_argument("--nproc", type=int, required=True)
     ap.add_argument("--port", required=True)
@@ -158,9 +166,10 @@ def main():
     import numpy as np  # noqa: F401
 
     tmp = Path(args.tmp)
-    if args.mode in ("gradcheck", "gradcheck_fsdp"):
+    if args.mode in ("gradcheck", "gradcheck_fsdp", "gradcheck_tp"):
         checksum, loss, count = gradcheck_step(
-            per_process_batch=4, fsdp=args.mode == "gradcheck_fsdp")
+            per_process_batch=4, fsdp=args.mode == "gradcheck_fsdp",
+            tp=2 if args.mode == "gradcheck_tp" else 1)
         print(f"RESULT checksum={checksum!r} loss={loss!r} count={count!r}",
               flush=True)
     elif args.mode == "batches":
@@ -173,12 +182,14 @@ def main():
             process_count=jax.process_count()))
         n_valid = sum(int(b["valid"].sum()) for b in batches)
         print(f"RESULT n_batches={len(batches)} n_valid={n_valid}", flush=True)
-    else:  # train / train_fsdp
+    else:  # train / train_fsdp / train_tp
         from fmdm_tpu.train import denoise_lib
 
         cfg = tiny_cfg(tmp, args.epochs)
         if args.mode == "train_fsdp":
             cfg["training"]["fsdp"] = True
+        elif args.mode == "train_tp":
+            cfg["training"]["tensor_parallel"] = 2
         if args.resume:
             cfg["training"]["output_dir"] = str(Path(args.resume).parent)
         cfg_path = tmp / f"cfg_p{args.pid}.json"
