@@ -97,6 +97,34 @@ def create_dp_sp_mesh(batch_size: int, sp: int, axis_name: str = "data") -> Mesh
     return Mesh(np.array(devices[: n_data * sp]).reshape(n_data, sp), (axis_name, "seq"))
 
 
+def create_dp_sp_mesh_global(batch_size: int, sp: int, axis_name: str = "data") -> Mesh:
+    """dp × sp mesh for trainers, multi-host aware (mirrors
+    tp.create_dp_tp_mesh_global): the 'seq' ring axis stays INTRA-process —
+    every ppermute hop rides ICI, never DCN — while the data axis
+    concatenates processes' rows; every process feeds ``batch_size`` rows
+    per step. Single-process delegates to create_dp_sp_mesh."""
+    if jax.process_count() == 1:
+        return create_dp_sp_mesh(batch_size, sp, axis_name)
+    n_local = len(jax.local_devices())
+    if n_local % sp != 0:
+        raise ValueError(
+            f"sequence_parallel={sp} must divide the per-process device count {n_local}")
+    n_ld = n_local // sp
+    # batch rides BOTH axes (see batch_sharding): the per-process batch must
+    # divide this process's (data_rows x sp) device block
+    while n_ld > 1 and batch_size % (n_ld * sp) != 0:
+        n_ld -= 1
+    if batch_size % (n_ld * sp) != 0:
+        raise ValueError(
+            f"batch_size={batch_size} must be divisible by sequence_parallel={sp} "
+            "(batch shards over the data x seq mesh)")
+    rows = []
+    for p in range(jax.process_count()):
+        procd = [d for d in jax.devices() if d.process_index == p][: n_ld * sp]
+        rows.append(np.array(procd).reshape(n_ld, sp))
+    return Mesh(np.concatenate(rows, axis=0), (axis_name, "seq"))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

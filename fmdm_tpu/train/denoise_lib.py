@@ -131,22 +131,18 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
 
     tp = int(training_cfg.get("tensor_parallel", 1) or 1)
     sp = int(training_cfg.get("sequence_parallel", 1) or 1)
-    if jax.process_count() > 1 and sp > 1:
-        raise ValueError(
-            "sequence_parallel is a single-host strategy "
-            "here; multi-host runs use the global data mesh (optionally with "
-            "training.fsdp: true to shard state across hosts)."
-        )
     if sp > 1 and (tp > 1 or bool(training_cfg.get("fsdp", False))):
         raise ValueError("sequence_parallel composes with plain DP only (set tensor_parallel=1, fsdp=false)")
     if sp > 1:
         # dp x sp mesh: batch shards over both axes for the convs; attention
         # reshards tokens over 'seq' and runs the ppermute ring
         # (parallel/sequence.py) — for volumetric token counts whose score
-        # tiles / K-V streams outgrow one chip.
+        # tiles / K-V streams outgrow one chip. Multi-host (since r4): the
+        # ring axis stays intra-process (hops on ICI), the data axis spans
+        # processes (create_dp_sp_mesh_global).
         from fmdm_tpu.ops import attention as attention_ops
 
-        mesh = mesh_lib.create_dp_sp_mesh(batch_size, sp)
+        mesh = mesh_lib.create_dp_sp_mesh_global(batch_size, sp)
         attention_ops.set_sequence_parallel(
             mesh, "seq", min_tokens=int(training_cfg.get("sequence_parallel_min_tokens", 512)))
         _place_params = lambda p: mesh_lib.replicate(mesh, p)

@@ -81,12 +81,14 @@ def tiny_cfg(tmp: Path, epochs: int) -> dict:
     }
 
 
-def gradcheck_step(per_process_batch: int, fsdp: bool = False, tp: int = 1):
+def gradcheck_step(per_process_batch: int, fsdp: bool = False, tp: int = 1,
+                   sp: int = 1):
     """Build model/optimizer/step exactly as the test's single-process
     simulation does, returning the post-step parameter checksum. With
     ``fsdp`` the parameters/moments live sliced over the global data axis
     (multi-host ZeRO-3); with ``tp`` > 1 weights slice over an intra-process
-    model axis (multi-host dp × tp). Either way the update must be
+    model axis (multi-host dp × tp); with ``sp`` > 1 the batch rides a
+    dp × seq mesh whose ring axis is intra-process. Every layout must be
     numerically identical to replicated DP."""
     import jax
     import jax.numpy as jnp
@@ -107,6 +109,10 @@ def gradcheck_step(per_process_batch: int, fsdp: bool = False, tp: int = 1):
         mesh = tp_lib.create_dp_tp_mesh_global(per_process_batch, tp)
         params = tp_lib.shard_params_tp(params, mesh)
         opt_state = tp_lib.shard_opt_state_tp(optimizer.init(params), params, mesh)
+    elif sp > 1:
+        mesh = mesh_lib.create_dp_sp_mesh_global(per_process_batch, sp)
+        params = mesh_lib.replicate(mesh, params)
+        opt_state = mesh_lib.replicate(mesh, optimizer.init(params))
     elif fsdp:
         from fmdm_tpu.parallel import fsdp as fsdp_lib
 
@@ -143,7 +149,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
                     choices=("gradcheck", "gradcheck_fsdp", "gradcheck_tp",
-                             "batches", "train", "train_fsdp", "train_tp"))
+                             "gradcheck_sp", "batches", "train", "train_fsdp",
+                             "train_tp", "train_sp"))
     ap.add_argument("--pid", type=int, required=True)
     ap.add_argument("--nproc", type=int, required=True)
     ap.add_argument("--port", required=True)
@@ -166,10 +173,12 @@ def main():
     import numpy as np  # noqa: F401
 
     tmp = Path(args.tmp)
-    if args.mode in ("gradcheck", "gradcheck_fsdp", "gradcheck_tp"):
+    if args.mode in ("gradcheck", "gradcheck_fsdp", "gradcheck_tp",
+                     "gradcheck_sp"):
         checksum, loss, count = gradcheck_step(
             per_process_batch=4, fsdp=args.mode == "gradcheck_fsdp",
-            tp=2 if args.mode == "gradcheck_tp" else 1)
+            tp=2 if args.mode == "gradcheck_tp" else 1,
+            sp=2 if args.mode == "gradcheck_sp" else 1)
         print(f"RESULT checksum={checksum!r} loss={loss!r} count={count!r}",
               flush=True)
     elif args.mode == "batches":
@@ -190,6 +199,8 @@ def main():
             cfg["training"]["fsdp"] = True
         elif args.mode == "train_tp":
             cfg["training"]["tensor_parallel"] = 2
+        elif args.mode == "train_sp":
+            cfg["training"]["sequence_parallel"] = 2
         if args.resume:
             cfg["training"]["output_dir"] = str(Path(args.resume).parent)
         cfg_path = tmp / f"cfg_p{args.pid}.json"

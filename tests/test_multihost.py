@@ -229,3 +229,38 @@ def test_multihost_tp_trainer_end_to_end(tmp_path):
 
     payload = load_checkpoint(run_dir / "diff_last.pt")
     assert int(payload["epoch"]) == 2
+
+
+def test_multihost_sp_grad_sync(tmp_path):
+    """Multi-host × sequence parallelism: the batch rides a dp × seq mesh
+    whose ring axis is intra-process (parallel/mesh.py::
+    create_dp_sp_mesh_global) while the data axis spans the 2 processes.
+    The post-step parameter checksum must match across processes AND the
+    replicated-DP single-process run on the same global batch."""
+    outs = _run_cluster("gradcheck_sp", tmp_path)
+    results = [_result_line(o) for o in outs]
+    checks = [float(r["checksum"]) for r in results]
+    losses = [float(r["loss"]) for r in results]
+    assert checks[0] == pytest.approx(checks[1], rel=1e-6)
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+
+    from multihost_worker import gradcheck_step
+
+    ref_checksum, ref_loss, _ = gradcheck_step(per_process_batch=8, fsdp=False)
+    assert checks[0] == pytest.approx(ref_checksum, rel=2e-5)
+    assert losses[0] == pytest.approx(ref_loss, rel=2e-5)
+
+
+def test_multihost_sp_trainer_end_to_end(tmp_path):
+    """The real diffusion trainer with training.sequence_parallel=2 under 2
+    processes: dp×sp mesh trains, checkpoints, both ranks agree on the dir."""
+    outs = _run_cluster("train_sp", tmp_path, timeout=900, extra=("--epochs", "2"))
+    run_dirs = [_result_line(o)["run_dir"] for o in outs]
+    assert run_dirs[0] == run_dirs[1]
+    run_dir = Path(run_dirs[0])
+    assert (run_dir / "diff_last.pt").exists()
+
+    from fmdm_tpu.utils.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(run_dir / "diff_last.pt")
+    assert int(payload["epoch"]) == 2
