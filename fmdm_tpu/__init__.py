@@ -21,3 +21,26 @@ tomn681/Flow-Matching-and-Diffusion-Models (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when a PJRT plugin's registration hook (e.g. the
+# axon TPU sitecustomize in this image) force-selects its own platform after
+# env processing: an explicit jax.config update wins over both. Without this,
+# `JAX_PLATFORMS=cpu python train.py ...` silently runs on the TPU — and a
+# second process touching a single-client TPU tunnel can wedge the first.
+# No-op when the env var is unset (plugin/default selection applies).
+
+
+def _honor_jax_platforms_env() -> None:
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # backend already initialized — too late to switch
+            pass
+
+
+_honor_jax_platforms_env()

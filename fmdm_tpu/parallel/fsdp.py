@@ -79,3 +79,61 @@ def shard_opt_state_fsdp(opt_state, params, mesh: Mesh, axis: str = "data"):
         return _put(leaf, mesh, spec)
 
     return jax.tree_util.tree_map(place, opt_state)
+
+
+def fsdp_tp_leaf_spec(shape, data_size: int, model_size: int,
+                      data_axis: str = "data", model_axis: str = "model") -> P:
+    """2-D pod layout for one tensor: TP slices the leading (output-channel)
+    dim over ``model_axis`` when divisible (tp.py's rule), then FSDP slices
+    the largest REMAINING divisible dim over ``data_axis``. A dim never
+    carries both axes; tensors with no second divisible dim stay FSDP-
+    replicated (TP-only), and tensors TP can't slice fall back to pure FSDP."""
+    if len(shape) == 0:
+        return P()
+    spec = [None] * len(shape)
+    if shape[0] % model_size == 0:
+        spec[0] = model_axis
+    candidates = [d for d in range(len(shape))
+                  if spec[d] is None and shape[d] % data_size == 0
+                  and shape[d] >= data_size]
+    if candidates:
+        dim = max(candidates, key=lambda d: shape[d])
+        spec[dim] = data_axis
+    return P(*spec)
+
+
+def fsdp_tp_param_specs(params, mesh: Mesh,
+                        data_axis: str = "data", model_axis: str = "model"):
+    data_size = mesh.shape[data_axis]
+    model_size = mesh.shape[model_axis]
+
+    def spec(leaf):
+        return fsdp_tp_leaf_spec(np.shape(leaf), data_size, model_size,
+                                 data_axis, model_axis)
+
+    return jax.tree_util.tree_map(spec, params)
+
+
+def shard_params_fsdp_tp(params, mesh: Mesh,
+                         data_axis: str = "data", model_axis: str = "model"):
+    specs = fsdp_tp_param_specs(params, mesh, data_axis, model_axis)
+    return jax.tree_util.tree_map(
+        lambda leaf, s: _put(leaf, mesh, s), params, specs
+    )
+
+
+def shard_opt_state_fsdp_tp(opt_state, params, mesh: Mesh,
+                            data_axis: str = "data", model_axis: str = "model"):
+    """Moments mirror their parameter's 2-D sharding; counters replicate."""
+    shapes = {np.shape(leaf) for leaf in jax.tree_util.tree_leaves(params)}
+    data_size = mesh.shape[data_axis]
+    model_size = mesh.shape[model_axis]
+
+    def place(leaf):
+        shape = np.shape(leaf)
+        spec = (fsdp_tp_leaf_spec(shape, data_size, model_size,
+                                  data_axis, model_axis)
+                if shape in shapes else P())
+        return _put(leaf, mesh, spec)
+
+    return jax.tree_util.tree_map(place, opt_state)

@@ -147,6 +147,17 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
             mesh, "seq", min_tokens=int(training_cfg.get("sequence_parallel_min_tokens", 512)))
         _place_params = lambda p: mesh_lib.replicate(mesh, p)
         _place_opt = lambda s, p: mesh_lib.replicate(mesh, s)
+    elif tp > 1 and bool(training_cfg.get("fsdp", False)):
+        # 2-D pod layout (tp × fsdp, r4): TP slices output channels over the
+        # intra-host 'model' axis; FSDP slices a DIFFERENT dim of every
+        # tensor (and its moments) over the 'data' axis, so per-device state
+        # drops ~(tp×dp)-fold while the batch rides 'data' as usual.
+        from fmdm_tpu.parallel import fsdp as fsdp_lib
+        from fmdm_tpu.parallel import tp as tp_lib
+
+        mesh = tp_lib.create_dp_tp_mesh_global(batch_size, tp)
+        _place_params = lambda p: fsdp_lib.shard_params_fsdp_tp(p, mesh)
+        _place_opt = lambda s, p: fsdp_lib.shard_opt_state_fsdp_tp(s, p, mesh)
     elif tp > 1:
         # dp x tp mesh: GSPMD output-channel sharding (parallel/tp.py).
         # Single-host: the data axis is the largest batch divisor the

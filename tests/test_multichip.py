@@ -430,3 +430,80 @@ def test_ema_shadow_consistent_across_device_counts():
     assert moved, "params never moved"
     k = moved[0]
     assert not np.allclose(fe1[k], fp1[k]), "EMA tracked live params exactly"
+
+
+def test_fsdp_tp_specs_disjoint_axes():
+    """2-D layout rule: no dim carries both axes; TP keeps dim0 when
+    divisible; FSDP takes the largest remaining divisible dim."""
+    from jax.sharding import PartitionSpec as P
+
+    from fmdm_tpu.parallel.fsdp import fsdp_tp_leaf_spec
+
+    # conv kernel (O, I, kh, kw): O=16 over model(2), I=8 over data(4)
+    assert fsdp_tp_leaf_spec((16, 8, 3, 3), 4, 2) == P("model", "data", None, None)
+    # bias (16,): TP takes dim0, nothing left for FSDP
+    assert fsdp_tp_leaf_spec((16,), 4, 2) == P("model")
+    # odd lead dim: TP can't slice -> pure FSDP on the largest divisible dim
+    assert fsdp_tp_leaf_spec((7, 12), 4, 2) == P(None, "data")
+    # nothing divisible -> replicate
+    assert fsdp_tp_leaf_spec((7, 5), 4, 2) == P(None, None)
+
+
+def test_fsdp_tp_update_matches_replicated_dp():
+    """training.tensor_parallel + training.fsdp together (2-D pod layout):
+    the post-step parameters must equal the replicated-DP run — the layout
+    changes where state lives, never the math."""
+    from jax.sharding import Mesh
+
+    from fmdm_tpu.models.factories import DiffusionUNetFactory
+    from fmdm_tpu.nn.module import flatten_params
+    from fmdm_tpu.parallel.fsdp import shard_opt_state_fsdp_tp, shard_params_fsdp_tp
+    from fmdm_tpu.schedulers import DDPMScheduler
+    from fmdm_tpu.train.common import make_adamw, make_denoise_train_step
+
+    unet = {
+        "unet_impl": "diffusers_nd", "in_channels": 1, "out_channels": 1,
+        "layers_per_block": 1, "block_out_channels": [8, 8], "norm_num_groups": 4,
+        "down_block_types": ["DownBlock2D", "DownBlock2D"],
+        "up_block_types": ["UpBlock2D", "UpBlock2D"],
+    }
+    model = DiffusionUNetFactory().build(unet, None, 1)
+    init_params = model.init(jax.random.PRNGKey(0))
+    sched = DDPMScheduler.create(num_train_timesteps=20)
+    opt, _ = make_adamw(1e-2, 0.0, 0, 100)
+
+    batch = {
+        "target": jnp.tile(jnp.linspace(0, 1, 64).reshape(1, 1, 8, 8), (8, 1, 1, 1)),
+        "image": None,
+        "valid": jnp.ones((8,), jnp.float32),
+    }
+    rng = jax.random.PRNGKey(3)
+
+    results = []
+    for layout in ("dp", "fsdp_tp"):
+        src = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), init_params)
+        if layout == "dp":
+            mesh = create_mesh(8)
+            params = replicate(mesh, src)
+            opt_state = replicate(mesh, opt.init(params))
+        else:
+            mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+            params = shard_params_fsdp_tp(src, mesh)
+            opt_state = shard_opt_state_fsdp_tp(opt.init(params), params, mesh)
+        step = make_denoise_train_step(model, sched, opt, variant="diffusion",
+                                       conditioning_mode=None, latent_norm=None, mesh=mesh)
+        placed = {
+            "target": shard_batch(mesh, batch["target"]),
+            "image": None,
+            "valid": shard_batch(mesh, batch["valid"]),
+        }
+        new_params, _, loss_sum, count = step(params, opt_state, placed, rng)
+        results.append((jax.tree_util.tree_map(np.asarray, new_params),
+                        float(loss_sum), float(count)))
+
+    (p_dp, l_dp, c_dp), (p_2d, l_2d, c_2d) = results
+    assert c_dp == c_2d == 8
+    np.testing.assert_allclose(l_dp, l_2d, rtol=1e-4)
+    f_dp, f_2d = flatten_params(p_dp), flatten_params(p_2d)
+    for k in f_dp:
+        np.testing.assert_allclose(f_dp[k], f_2d[k], rtol=5e-2, atol=1e-3, err_msg=k)
