@@ -234,6 +234,19 @@ def _build_dataset_kwargs(training_cfg: dict, train: bool, keys) -> dict:
         if param == "train":
             kwargs["train"] = train
             continue
+        if param == "conditioning":
+            # conditioning in configs is a MODE string ("concatenate" /
+            # "attention" / "none" / None); datasets take a bool ("load the
+            # conditioning column"). Normalize here so a conditioned latent
+            # model actually reads its conditioning column instead of the
+            # base-class image := target fallback.
+            raw = training_cfg.get("conditioning")
+            if isinstance(raw, bool):
+                kwargs[param] = raw
+            else:
+                kwargs[param] = str(raw or "").strip().lower() in {
+                    "concatenate", "attention", "true", "1"}
+            continue
         cfg_key = mapping.get(param, param)
         if cfg_key in training_cfg:
             kwargs[param] = training_cfg[cfg_key]

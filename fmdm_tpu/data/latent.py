@@ -26,11 +26,16 @@ from fmdm_tpu.data.base import BaseDataset
 class LatentDataset(BaseDataset):
     """BaseDataset over raw latent tensors: identity pre/post processing."""
 
-    def __init__(self, file_path, train=True, **kwargs):
+    def __init__(self, file_path, train=True, conditioning=False, **kwargs):
+        # `conditioning` is EXPLICIT (not buried in **kwargs) so the config
+        # builder's signature scan (dataset_utils._build_dataset_kwargs) can
+        # pass it through: without it the base class falls back to
+        # image := target (reference base.py:235-236) and a "conditioned"
+        # latent model silently trains against its own ground truth.
         kwargs.setdefault("norm", False)
         kwargs.setdefault("target_key", "target")
         kwargs.setdefault("conditioning_key", "conditioning")
-        super().__init__(file_path, train=train, **kwargs)
+        super().__init__(file_path, train=train, conditioning=conditioning, **kwargs)
 
     # latents are not images: no resize, no [0,1] mapping, no clipping
     def preprocess(self, payload) -> np.ndarray:

@@ -126,6 +126,24 @@ def test_latent_dataset_builds_through_config_walk(latent_chain):
     assert (Path(run_dir) / "diff_last.pt").exists()
 
 
+def test_latent_dataset_loads_real_conditioning_column(latent_chain):
+    """Regression (r4): with training.conditioning='concatenate' the built
+    LatentDataset must load the conditioning COLUMN — not fall back to the
+    base class's image := target (which silently trains/evaluates a
+    'conditioned' model against its own ground truth)."""
+    from fmdm_tpu.sample.sampling_utils import build_sampling_dataset, load_run_config
+
+    _, latent_root, _, run_dir = latent_chain
+    cfg = load_run_config(Path(run_dir))
+    for evaluate in (False, True):
+        ds = build_sampling_dataset(cfg, None, evaluate=evaluate)
+        assert getattr(ds, "conditioning", False) is True
+        s = ds[0]
+        assert s["image"].shape == s["target"].shape
+        assert not np.allclose(s["image"], s["target"]), \
+            "conditioning column not loaded: image == target (leakage)"
+
+
 def test_evaluate_with_latent_vae_decodes_to_pixels(latent_chain, tmp_path):
     vae_dir, latent_root, scale, run_dir = latent_chain
     handler = DiffusionHandler(
