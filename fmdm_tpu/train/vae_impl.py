@@ -164,12 +164,19 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
     grad_accum = max(1, int(training_cfg.get("gradient_accumulation_steps", 1)))
 
     base_output_dir = Path(training_cfg.get("output_dir", "checkpoints/vae"))
-    output_dir = config_utils.allocate_run_dir(base_output_dir) if resume is None else base_output_dir
+    # rank 0 allocates the _runN dir; everyone else adopts it (the _runN
+    # probe would race across hosts otherwise — same as denoise_lib)
+    if mesh_lib.is_main_process():
+        output_dir = config_utils.allocate_run_dir(base_output_dir) if resume is None else base_output_dir
+    else:
+        output_dir = base_output_dir
+    output_dir = Path(mesh_lib.broadcast_string(str(output_dir)))
     training_cfg["output_dir"] = str(output_dir)
-    output_dir.mkdir(parents=True, exist_ok=True)
-    train_cfg_path = output_dir / "train_config.json"
-    if not train_cfg_path.exists():
-        config_utils.save_json_config(train_cfg_path, cfg)
+    if mesh_lib.is_main_process():
+        output_dir.mkdir(parents=True, exist_ok=True)
+        train_cfg_path = output_dir / "train_config.json"
+        if not train_cfg_path.exists():
+            config_utils.save_json_config(train_cfg_path, cfg)
 
     best_metric = float("inf")
     metrics_path = output_dir / "metrics.csv"
@@ -185,15 +192,10 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
     if mesh_lib.is_main_process() and not metrics_path.exists():
         metrics_path.write_text("epoch," + ",".join(metrics_keys) + "\n")
 
-    if jax.process_count() > 1:
-        # reference parity: the VAE trainer is single-process by design (no
-        # DistributedSampler in vae_lib.py, SURVEY.md §2.3); multi-host
-        # training is provided by the diffusion/flow trainers.
-        raise ValueError(
-            "VAE training is single-host; launch without a multi-process "
-            "coordinator (diffusion/flow_matching trainers support multi-host)."
-        )
-    mesh = mesh_lib.create_mesh_for_batch(batch_size)
+    # Multi-host (r4; beyond reference — vae_lib.py has no DistributedSampler,
+    # SURVEY.md §2.3): global data mesh, every process feeds its own
+    # batch_size rows per step (true-DDP semantics, same as denoise_lib).
+    mesh = mesh_lib.create_data_mesh(batch_size)
     model, params = build_vae_model(cfg, ckpt_path=None, rng=jax.random.PRNGKey(seed))
     model_cfg = cfg.get("model", {})
     latent_type = str(model_cfg.get("latent_type", "kl")).lower()
@@ -205,7 +207,10 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
 
     summarize_model(params, model_cfg, training_cfg, name="vae")
 
-    steps_per_epoch = math.ceil(len(dataset) / batch_size)
+    # per-process optimizer steps (every process steps in lockstep on the
+    # shared global batch)
+    steps_per_epoch = math.ceil(
+        math.ceil(len(dataset) / jax.process_count()) / batch_size)
     lr_schedule = _make_lr_schedule(lr, training_cfg, epochs, steps_per_epoch)
     optimizer = optax.adamw(lr_schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
 
@@ -231,43 +236,49 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
     if sp > 1:
         # dp x sp: batch rides both axes for the conv trunk; the VAE
         # mid-block attention (1024 tokens at 256², more for volumes)
-        # reshards tokens onto 'seq' and runs the ppermute ring.
+        # reshards tokens onto 'seq' and runs the ppermute ring. Multi-host:
+        # the ring axis stays intra-process (create_dp_sp_mesh_global).
         from fmdm_tpu.ops import attention as attention_ops
 
-        mesh = mesh_lib.create_dp_sp_mesh(batch_size, sp)
+        mesh = mesh_lib.create_dp_sp_mesh_global(batch_size, sp)
         attention_ops.set_sequence_parallel(
             mesh, "seq", min_tokens=int(training_cfg.get("sequence_parallel_min_tokens", 512)))
         _place_gen = lambda p: mesh_lib.replicate(mesh, p)
         _place_gen_opt = lambda s, p: mesh_lib.replicate(mesh, s)
-        gen_params = _place_gen(gen_params)
-        opt_state = _place_gen_opt(opt_state, gen_params)
-        ema_state = mesh_lib.replicate(mesh, ema_state)
-        if disc_params is not None:
-            disc_params = mesh_lib.replicate(mesh, disc_params)
-            disc_opt_state = mesh_lib.replicate(mesh, disc_opt_state)
+        _place_disc = _place_gen
+        _place_disc_opt = _place_gen_opt
     elif tp > 1:
         # dp x tp (GSPMD output-channel sharding, parallel/tp.py) for both
         # the generator and the discriminator; EMA codebook state replicates.
+        # Multi-host: model axis intra-process (create_dp_tp_mesh_global).
         from fmdm_tpu.parallel import tp as tp_lib
 
-        n_dev = len(jax.devices())
-        if n_dev % tp != 0:
-            raise ValueError(f"tensor_parallel={tp} must divide the device count {n_dev}")
-        n_data = n_dev // tp
-        while n_data > 1 and batch_size % n_data != 0:
-            n_data -= 1
-        mesh = tp_lib.create_dp_tp_mesh(n_data, tp)
+        mesh = tp_lib.create_dp_tp_mesh_global(batch_size, tp)
         _place_gen = lambda p: tp_lib.shard_params_tp(p, mesh)
         _place_gen_opt = lambda s, p: tp_lib.shard_opt_state_tp(s, p, mesh)
-        gen_params = _place_gen(gen_params)
-        opt_state = _place_gen_opt(opt_state, gen_params)
-        ema_state = mesh_lib.replicate(mesh, ema_state)
-        if disc_params is not None:
-            disc_params = tp_lib.shard_params_tp(disc_params, mesh)
-            disc_opt_state = tp_lib.shard_opt_state_tp(disc_opt_state, disc_params, mesh)
+        _place_disc = _place_gen
+        _place_disc_opt = _place_gen_opt
+    elif bool(training_cfg.get("fsdp", False)):
+        # ZeRO-3-style FSDP (parallel/fsdp.py) for generator AND
+        # discriminator state — AdamW moments are 3x params, so the VAE+GAN
+        # pair benefits the most; EMA codebook state replicates.
+        from fmdm_tpu.parallel import fsdp as fsdp_lib
+
+        _place_gen = lambda p: fsdp_lib.shard_params_fsdp(p, mesh)
+        _place_gen_opt = lambda s, p: fsdp_lib.shard_opt_state_fsdp(s, p, mesh)
+        _place_disc = _place_gen
+        _place_disc_opt = _place_gen_opt
     else:
-        _place_gen = lambda p: p
-        _place_gen_opt = lambda s, p: s
+        _place_gen = lambda p: mesh_lib.replicate(mesh, p)
+        _place_gen_opt = lambda s, p: mesh_lib.replicate(mesh, s)
+        _place_disc = _place_gen
+        _place_disc_opt = _place_gen_opt
+    gen_params = _place_gen(gen_params)
+    opt_state = _place_gen_opt(opt_state, gen_params)
+    ema_state = mesh_lib.replicate(mesh, ema_state) if ema_state is not None else None
+    if disc_params is not None:
+        disc_params = _place_disc(disc_params)
+        disc_opt_state = _place_disc_opt(disc_opt_state, disc_params)
 
     logging.info(
         "Data: train_samples=%d%s | batch_size=%d | grad_accum=%d | epochs=%d",
@@ -405,8 +416,12 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
     def _trial_compile(step, _accum):
         batch_sh = mesh_lib.batch_sharding(mesh)
         sample_shape = np.asarray(dataset[0]["target"]).shape
-        raw_aval = jax.ShapeDtypeStruct((batch_size, *sample_shape), jnp.float32, sharding=batch_sh)
-        valid_aval = jax.ShapeDtypeStruct((batch_size,), jnp.float32, sharding=batch_sh)
+        # the jitted step sees the GLOBAL batch (process_count x batch_size)
+        # when the mesh spans processes
+        global_bs = batch_size * (jax.process_count()
+                                  if mesh_lib.spans_processes(mesh) else 1)
+        raw_aval = jax.ShapeDtypeStruct((global_bs, *sample_shape), jnp.float32, sharding=batch_sh)
+        valid_aval = jax.ShapeDtypeStruct((global_bs,), jnp.float32, sharding=batch_sh)
         kl_aval = jax.ShapeDtypeStruct((), jnp.float32)
         # compile both generator-only and GAN-active programs up front, so an
         # oversized discriminator path fails at startup rather than mid-run
@@ -449,12 +464,14 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
             full = jax.tree_util.tree_map(jnp.asarray, payload["model"])
             gen_params, ema_state = _split_ema(full, is_ema)
             gen_params = _place_gen(gen_params)
+            ema_state = mesh_lib.replicate(mesh, ema_state) if ema_state is not None else None
             if payload.get("optimizer") is not None:
                 opt_state = _place_gen_opt(payload["optimizer"], gen_params)
-            if payload.get("disc_optimizer") is not None and disc_opt_state is not None:
-                disc_opt_state = payload["disc_optimizer"]
             if payload.get("extra_state") is not None and discriminator is not None:
-                disc_params = jax.tree_util.tree_map(jnp.asarray, payload["extra_state"].get("disc_params", disc_params))
+                disc_params = _place_disc(jax.tree_util.tree_map(
+                    jnp.asarray, payload["extra_state"].get("disc_params", disc_params)))
+            if payload.get("disc_optimizer") is not None and disc_opt_state is not None:
+                disc_opt_state = _place_disc_opt(payload["disc_optimizer"], disc_params)
             best_metric = float(payload.get("best_metric", best_metric))
             start_epoch = int(payload.get("epoch", 0)) + 1
             logging.info("Resumed from %s (epoch %d)", ckpt_path, start_epoch - 1)
@@ -484,7 +501,7 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
         try:
             from tqdm import tqdm
 
-            _batches = tqdm(_batches, total=math.ceil(len(dataset) / batch_size),
+            _batches = tqdm(_batches, total=steps_per_epoch,
                             desc=f"VAE {epoch}/{epochs}", leave=False, dynamic_ncols=True,
                             disable=(True if not mesh_lib.is_main_process() else None))
         except ImportError:
@@ -545,10 +562,16 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
             kl_scale = kl_weight
             if kl_anneal_steps > 0:
                 kl_scale = kl_weight * min(1.0, max(1, global_step + 1) / max(1, kl_anneal_steps))
+            # process-strided batches + mesh sharding: under multi-host every
+            # rank feeds its own rows and the jitted reductions psum the
+            # metrics globally, so val_totals agree on every rank (single
+            # host this is a plain device_put).
             for batch in epoch_batches(dataset=val_dataset, batch_size=batch_size,
-                                       shuffle=False, seed=seed, epoch=epoch):
-                raw = jnp.asarray(batch["target"])
-                valid = jnp.asarray(batch["valid"])
+                                       shuffle=False, seed=seed, epoch=epoch,
+                                       process_index=jax.process_index(),
+                                       process_count=jax.process_count()):
+                raw = mesh_lib.shard_batch(mesh, jnp.asarray(batch["target"]))
+                valid = mesh_lib.shard_batch(mesh, jnp.asarray(batch["valid"]))
                 m, count = eval_step(gen_params, ema_state, disc_params, raw, valid,
                                      jnp.float32(kl_scale), disc_active=disc_active)
                 for k in val_totals:
@@ -614,10 +637,13 @@ def _train_impl(dataset, json_path, val_dataset=None, resume: Optional[str] = No
             epoch_dir = output_dir / "epochs" / f"epoch{epoch:04d}"
             if visual_enabled and (epoch % visual_every == 0 or epoch == epochs):
                 # split unconditionally so rng evolution stays identical on
-                # every process; only rank 0 runs the probe and writes PNGs
+                # every process; only rank 0 runs the probe and writes PNGs.
+                # The host param gather (state["model"], built on every rank)
+                # is what makes the rank-gated probe collective-safe when the
+                # mesh spans processes — global arrays never enter the gate.
                 rng, gen_rng = jax.random.split(rng)
                 if mesh_lib.is_main_process():
-                    full = _merge_ema(gen_params, ema_state)
+                    full = jax.tree_util.tree_map(jnp.asarray, state["model"])
                     inputs = model.image_to_model_range(jnp.asarray(sample_batch))
                     if is_vq:
                         rec, _aux = model(full, inputs)

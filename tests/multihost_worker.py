@@ -81,6 +81,32 @@ def tiny_cfg(tmp: Path, epochs: int) -> dict:
     }
 
 
+def tiny_vae_cfg(tmp: Path, epochs: int, fsdp: bool) -> dict:
+    return {
+        "training": {
+            "output_dir": str(tmp / "vrun"),
+            "batch_size": 4,
+            "epochs": epochs,
+            "learning_rate": 1e-3,
+            "recon_type": "l1",
+            "kl_weight": 1e-4,
+            "gan_weight": 0.1,
+            "gan_start": 1,
+            "save_every": 1,
+            "save_images": False,
+            "img_size": 16,
+            "seed": 3,
+            **({"fsdp": True} if fsdp else {}),
+        },
+        "model": {
+            "in_channels": 1, "out_channels": 1, "resolution": 16,
+            "base_ch": 8, "ch_mult": [1, 2], "num_res_blocks": 1,
+            "z_channels": 2, "embed_dim": 2, "use_attention": False,
+            "latent_type": "kl", "model_type": "vae",
+        },
+    }
+
+
 def gradcheck_step(per_process_batch: int, fsdp: bool = False, tp: int = 1,
                    sp: int = 1):
     """Build model/optimizer/step exactly as the test's single-process
@@ -150,7 +176,8 @@ def main():
     ap.add_argument("--mode", required=True,
                     choices=("gradcheck", "gradcheck_fsdp", "gradcheck_tp",
                              "gradcheck_sp", "batches", "train", "train_fsdp",
-                             "train_tp", "train_sp"))
+                             "train_tp", "train_sp", "train_vae",
+                             "train_vae_fsdp"))
     ap.add_argument("--pid", type=int, required=True)
     ap.add_argument("--nproc", type=int, required=True)
     ap.add_argument("--port", required=True)
@@ -191,7 +218,16 @@ def main():
             process_count=jax.process_count()))
         n_valid = sum(int(b["valid"].sum()) for b in batches)
         print(f"RESULT n_batches={len(batches)} n_valid={n_valid}", flush=True)
-    else:  # train / train_fsdp / train_tp
+    elif args.mode in ("train_vae", "train_vae_fsdp"):
+        from fmdm_tpu.train import vae_impl
+
+        cfg = tiny_vae_cfg(tmp, args.epochs, fsdp=args.mode == "train_vae_fsdp")
+        cfg_path = tmp / f"vae_cfg_p{args.pid}.json"
+        cfg_path.write_text(json.dumps(cfg))
+        ds = SynthDS(n=21, size=16)
+        run_dir = vae_impl.train(ds, cfg_path, val_dataset=SynthDS(n=9, size=16))
+        print(f"RESULT run_dir={run_dir}", flush=True)
+    else:  # train / train_fsdp / train_tp / train_sp
         from fmdm_tpu.train import denoise_lib
 
         cfg = tiny_cfg(tmp, args.epochs)

@@ -264,3 +264,26 @@ def test_multihost_sp_trainer_end_to_end(tmp_path):
 
     payload = load_checkpoint(run_dir / "diff_last.pt")
     assert int(payload["epoch"]) == 2
+
+
+@pytest.mark.parametrize("mode", ["train_vae", "train_vae_fsdp"])
+def test_multihost_vae_trainer_end_to_end(tmp_path, mode):
+    """The VAE+GAN trainer under 2 real processes (r4; the torch reference's
+    VAE trainer is single-GPU by design): agreed run dir via
+    broadcast_string, process-strided train/val batches, two-optimizer GAN
+    step over the global data mesh, rank-0 artifact writes — and with
+    training.fsdp=true, generator AND discriminator state sliced across
+    hosts' devices (checkpoints gathered via process_allgather)."""
+    outs = _run_cluster(mode, tmp_path, timeout=900, extra=("--epochs", "2"))
+    run_dirs = [_result_line(o)["run_dir"] for o in outs]
+    assert run_dirs[0] == run_dirs[1]
+    run_dir = Path(run_dirs[0])
+    assert (run_dir / "vae_last.pt").exists()
+    assert (run_dir / "metrics.csv").exists()
+
+    from fmdm_tpu.utils.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(run_dir / "vae_last.pt")
+    assert int(payload["epoch"]) == 2
+    # gathered leaves are full host arrays (no shard-shaped leaves)
+    assert payload["extra_state"]["disc_params"], "disc state missing"
