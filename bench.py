@@ -44,11 +44,25 @@ def main() -> None:
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32  # throughput sweet spot (BENCHMARKS.md)
     dtype_name = sys.argv[2] if len(sys.argv) > 2 else "bf16"
-    compute_dtype = jnp.bfloat16 if dtype_name == "bf16" else None
+    # "int8" = post-training W8A8 quantized inference (ops/quant.py): eligible
+    # convs on the 2x-rate int8 MXU, everything else bf16. Opt-in variant; the
+    # driver metric of record stays exact bf16.
+    compute_dtype = jnp.bfloat16 if dtype_name in ("bf16", "int8") else None
     num_steps = 50
 
     model = DiffusionUNetFactory().build(FLAGSHIP_UNET, conditioning="concatenate", channels=1)
     params = model.init(jax.random.PRNGKey(0))
+    if dtype_name == "int8":
+        from fmdm_tpu.utils.quantize import quantize_model_params
+
+        calib_x = jnp.concatenate(
+            [jax.random.normal(jax.random.PRNGKey(2), (2, 1, 256, 256)),
+             jnp.full((2, 1, 256, 256), 0.5)], axis=1)
+        params = quantize_model_params(
+            lambda p, x, t: model(p, x, t),
+            params,
+            [(calib_x, jnp.full((2,), t, jnp.int32)) for t in (999, 500, 0)],
+        )
     params = jax.device_put(params)
 
     scheduler = DPMSolverMultistepScheduler.create(

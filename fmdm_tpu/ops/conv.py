@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from fmdm_tpu.ops.quant import QuantizedConvWeight, dequant_scale, quantize_activation
+
 SizeArg = Union[int, Tuple[int, ...], Sequence[int]]
 
 _SPATIAL_CHARS = "DHW"  # enough labels for up to 3 spatial dims
@@ -54,6 +56,10 @@ def conv_nd(
 
     x: (N, C_in, *spatial); weight: (C_out, C_in//groups, *kernel).
     ``padding=None`` defaults to k//2 per dim (reference convolution.py:30-35).
+
+    ``weight`` may also be a :class:`fmdm_tpu.ops.quant.QuantizedConvWeight`,
+    in which case the conv runs on the 2x-rate int8 MXU path (W8A8, int32
+    accumulation) — see ops/quant.py. Inference-only.
     """
     nd = x.ndim - 2
     kernel = weight.shape[2:]
@@ -64,15 +70,28 @@ def conv_nd(
     else:
         padding = _normalize(padding, nd)
     pads = [(p, p) for p in padding]
-    out = lax.conv_general_dilated(
-        x,
-        weight.astype(x.dtype),
-        window_strides=stride,
-        padding=pads,
-        rhs_dilation=dilation,
-        feature_group_count=groups,
-        dimension_numbers=_dim_numbers(nd),
-    )
+    if isinstance(weight, QuantizedConvWeight):
+        acc = lax.conv_general_dilated(
+            quantize_activation(x, weight.act_scale),
+            weight.qweight,
+            window_strides=stride,
+            padding=pads,
+            rhs_dilation=dilation,
+            feature_group_count=groups,
+            dimension_numbers=_dim_numbers(nd),
+            preferred_element_type=jnp.int32,
+        )
+        out = (acc.astype(jnp.float32) * dequant_scale(weight, nd)).astype(x.dtype)
+    else:
+        out = lax.conv_general_dilated(
+            x,
+            weight.astype(x.dtype),
+            window_strides=stride,
+            padding=pads,
+            rhs_dilation=dilation,
+            feature_group_count=groups,
+            dimension_numbers=_dim_numbers(nd),
+        )
     if bias is not None:
         out = out + bias.astype(out.dtype).reshape((1, -1) + (1,) * nd)
     return out

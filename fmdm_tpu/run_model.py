@@ -73,6 +73,12 @@ _FLAG_SPEC = [
                                "scan-denoise in latent space -> VAE-decode; reference composition "
                                "src/models/vae/kl.py:118-136). Targets are decoded the same way, "
                                "so evaluate metrics are pixel-space. Beyond-reference flag.")),
+    ("--quantize", dict(type=str, default=None, choices=["int8"],
+                        help="Post-training quantized inference: 'int8' runs eligible "
+                             "convolutions on the TPU's 2x-rate int8 MXU path (W8A8, "
+                             "per-channel weight scales, activation scales calibrated on "
+                             "the first batch). Measured speedup and quality cost in "
+                             "BENCHMARKS.md. Beyond-reference flag.")),
     ("--use_ema", dict(action="store_true",
                        help="Load the EMA shadow weights ('ema' tree, written when "
                             "training.ema_decay > 0) instead of the live weights. "
@@ -128,11 +134,13 @@ def main() -> None:
     handler_kwargs = {name.lstrip("-"): getattr(args, name.lstrip("-"))
                       for name, _ in _FLAG_SPEC if name != "--mode"}
     # engine-level runtime options, not part of the reference handler surface
-    from fmdm_tpu.sample.diffusion_utils import set_deep_cache, set_dp_sampling, set_use_ema
+    from fmdm_tpu.sample.diffusion_utils import (set_deep_cache, set_dp_sampling,
+                                                 set_quantize, set_use_ema)
 
     set_deep_cache(_parse_deep_cache(handler_kwargs.pop("deep_cache", None)))
     set_dp_sampling(not handler_kwargs.pop("no_dp_sampling", False))
     set_use_ema(handler_kwargs.pop("use_ema", False))
+    set_quantize(handler_kwargs.pop("quantize", None))
     handler = handler_cls(**handler_kwargs)
 
     # every mode maps 1:1 onto a handler method of the same name

@@ -199,6 +199,67 @@ def set_use_ema(enabled: bool) -> None:
     _USE_EMA = bool(enabled)
 
 
+# Post-training int8 quantized inference (run_model --quantize int8; beyond
+# reference — see ops/quant.py + utils/quantize.py). Module-level like
+# _DEEP_CACHE above. Calibration happens lazily at the first decode call,
+# where the real conditioning batch and noise scale are in hand.
+_QUANTIZE: Optional[str] = None
+_QUANT_CACHE: Dict[Tuple[int, int], object] = {}
+
+
+def set_quantize(mode: Optional[str]) -> None:
+    global _QUANTIZE
+    if mode is not None and mode != "int8":
+        raise ValueError(f"--quantize supports 'int8', got '{mode}'")
+    _QUANTIZE = mode
+
+
+def _quantized_params_for(model, params, scheduler, timesteps, batch_shape,
+                          conditioning_batch, conditioning_mode, latent_norm):
+    """Calibrate once per (model, params) and cache the quantized tree."""
+    key = (id(model), id(params))
+    hit = _QUANT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from fmdm_tpu.sample.engine import (normalize_latent_conditioning,
+                                        prepare_attention_context)
+    from fmdm_tpu.utils.quantize import quantize_model_params
+
+    b = max(1, min(2, int(batch_shape[0])))
+    shape = (b,) + tuple(batch_shape[1:])
+    host_rng = np.random.default_rng(0)
+    sigma = float(np.asarray(getattr(scheduler, "init_noise_sigma", 1.0)))
+    x = host_rng.standard_normal(shape).astype(np.float32) * sigma
+
+    ctx = None
+    model_input = x
+    if conditioning_batch is not None:
+        cond = np.asarray(conditioning_batch)[:b].astype(np.float32)
+        if conditioning_mode == "concatenate":
+            model_input = np.concatenate([x, cond], axis=1)
+        elif conditioning_mode == "attention":
+            normed = normalize_latent_conditioning(jnp.asarray(cond), latent_norm)
+            ctx = prepare_attention_context(normed)
+
+    ts = np.asarray(timesteps)
+    probe_ts = [ts[0], ts[len(ts) // 2], ts[-1]]
+    t_dtype = jnp.int32 if np.issubdtype(ts.dtype, np.integer) else jnp.float32
+    example_args = [
+        (model_input, jnp.full((b,), t, t_dtype), ctx) for t in probe_ts
+    ]
+
+    def forward(p, xi, tb, cc):
+        return model(p, xi, tb, context_ca=cc)
+
+    try:
+        qparams = quantize_model_params(forward, params, example_args)
+    except ValueError as exc:
+        logging.warning("--quantize int8: %s — continuing with float weights.", exc)
+        qparams = params
+    _QUANT_CACHE[key] = qparams
+    return qparams
+
+
 # Data-parallel sampling (beyond reference — the torch sampler is single-GPU,
 # src/pipelines/samplers/diffusion_like.py): batch-shard the reverse-process
 # scan over all local devices. Single-process only (a multi-host engine mesh
@@ -280,12 +341,16 @@ def decode_diffusion_batch(
         logging.warning("deep_cache requested but %s has no deep/shallow split; ignoring.",
                         model.__class__.__name__)
         deep_cache = None
+    cond_for_quant = conditioning_batch
+    if _QUANTIZE == "int8":
+        params = _quantized_params_for(model, params, scheduler, timesteps, batch_shape,
+                                       cond_for_quant, conditioning_mode, latent_norm)
     mesh = _sampling_mesh(batch_shape[0])
     cache_key = (
         id(model), scheduler.__class__.__name__, _scheduler_fingerprint(scheduler),
         tuple(np.asarray(timesteps).tolist()),
         conditioning_mode, str(latent_norm), tuple(batch_shape),
-        None if mesh is None else int(mesh.devices.size), deep_cache,
+        None if mesh is None else int(mesh.devices.size), deep_cache, _QUANTIZE,
     )
     engine = _ENGINE_CACHE.get(cache_key)
     if engine is None:

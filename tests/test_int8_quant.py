@@ -1,0 +1,196 @@
+"""Post-training int8 (W8A8) quantized inference (beyond reference —
+ops/quant.py, utils/quantize.py, run_model --quantize int8).
+
+The torch reference has no quantization; these tests pin the subsystem's
+contract: numerically-close conv results, policy-driven eligibility,
+pytree/jit/device_put compatibility, and the lazy calibration hook in the
+sampling surface.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fmdm_tpu.models.factories import DiffusionUNetFactory
+from fmdm_tpu.nn.module import cast_floating
+from fmdm_tpu.ops.conv import conv_nd
+from fmdm_tpu.ops.quant import (QuantizedConvWeight, is_quantized_tree,
+                                make_quantized, quantize_conv_weight)
+from fmdm_tpu.utils.quantize import quantize_model_params
+
+
+def _snr_db(ref, out):
+    ref = np.asarray(ref, np.float64)
+    err = np.asarray(out, np.float64) - ref
+    return 10 * np.log10(np.mean(ref**2) / max(np.mean(err**2), 1e-30))
+
+
+def test_weight_quantization_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(8, 4, 3, 3)).astype(np.float32))
+    qw, scale = quantize_conv_weight(w)
+    assert qw.dtype == jnp.int8 and scale.shape == (8,)
+    recon = np.asarray(qw, np.float32) * np.asarray(scale)[:, None, None, None]
+    # symmetric per-channel absmax: error bounded by half a quantization step
+    step = np.asarray(scale)[:, None, None, None]
+    assert np.all(np.abs(recon - np.asarray(w)) <= 0.5 * step + 1e-7)
+
+
+@pytest.mark.parametrize("nd", [1, 2, 3])
+def test_quantized_conv_matches_float(nd):
+    rng = np.random.default_rng(nd)
+    spatial = (12,) * nd
+    x = jnp.asarray(rng.normal(size=(2, 6) + spatial).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(10, 6) + (3,) * nd).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(10,)).astype(np.float32) * 0.1)
+    ref = conv_nd(x, w, b)
+    qw = make_quantized(w, float(jnp.max(jnp.abs(x))))
+    out = conv_nd(x, qw, b)
+    assert out.shape == ref.shape and out.dtype == ref.dtype
+    assert _snr_db(ref, out) > 30.0
+
+
+def test_quantized_conv_stride_and_padding():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(8, 8, 3, 3)).astype(np.float32) * 0.2)
+    ref = conv_nd(x, w, None, stride=2, padding=1)
+    qw = make_quantized(w, float(jnp.max(jnp.abs(x))))
+    out = conv_nd(x, qw, None, stride=2, padding=1)
+    assert out.shape == ref.shape
+    assert _snr_db(ref, out) > 30.0
+
+
+def test_quantized_tree_is_jit_and_device_put_compatible():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(4, 4, 3, 3)).astype(np.float32))
+    qw = make_quantized(w, 3.0)
+    tree = {"conv": {"weight": qw, "bias": jnp.zeros((4,))}}
+    tree = jax.device_put(tree)
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 8)).astype(np.float32))
+
+    @jax.jit
+    def f(p, x):
+        return conv_nd(x, p["conv"]["weight"], p["conv"]["bias"])
+
+    out = f(tree, x)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cast_floating_preserves_quantized_bundles():
+    w = jnp.ones((4, 4, 3, 3))
+    tree = {"q": make_quantized(w, 1.0), "f": jnp.ones((3,), jnp.float32)}
+    cast = cast_floating(tree, jnp.bfloat16)
+    assert isinstance(cast["q"], QuantizedConvWeight)
+    assert cast["q"].wscale.dtype == jnp.float32  # scales must stay f32
+    assert cast["q"].qweight.dtype == jnp.int8
+    assert cast["f"].dtype == jnp.bfloat16
+
+
+UNET = {
+    "unet_impl": "diffusers_nd", "sample_size": 32, "in_channels": 1,
+    "out_channels": 1, "layers_per_block": 1, "norm_num_groups": 8,
+    "block_out_channels": [64, 64],
+    "down_block_types": ["DownBlock2D", "DownBlock2D"],
+    "up_block_types": ["UpBlock2D", "UpBlock2D"],
+}
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = DiffusionUNetFactory().build(UNET, conditioning=None, channels=1)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def test_transform_policy_and_accuracy(tiny_model):
+    model, params = tiny_model
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 1, 32, 32)).astype(np.float32))
+    t = jnp.zeros((2,), jnp.int32)
+
+    def fwd(p, x, t):
+        return model(p, x, t)
+
+    ref = fwd(params, x, t)
+    q = quantize_model_params(fwd, params, [(x, t)], min_hw=16, min_channels=32)
+    assert is_quantized_tree(q)
+    # policy: quality-sensitive first/last convs stay float
+    assert not isinstance(q["conv_in"]["weight"], QuantizedConvWeight)
+    assert not isinstance(q["conv_out"]["weight"], QuantizedConvWeight)
+    # interior resnet convs are quantized
+    assert isinstance(
+        q["down_blocks"]["0"]["resnets"]["0"]["conv1"]["conv"]["weight"],
+        QuantizedConvWeight,
+    )
+    out = jax.jit(fwd)(q, x, t)
+    assert _snr_db(ref, out) > 20.0
+
+
+def test_transform_min_hw_gates_small_convs(tiny_model):
+    model, params = tiny_model
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 1, 32, 32)).astype(np.float32))
+    t = jnp.zeros((1,), jnp.int32)
+
+    def fwd(p, x, t):
+        return model(p, x, t)
+
+    # min_hw=32: only the full-resolution level qualifies; the downsampled
+    # 16x16 level must stay float.
+    q = quantize_model_params(fwd, params, [(x, t)], min_hw=32, min_channels=32)
+    assert isinstance(
+        q["down_blocks"]["0"]["resnets"]["0"]["conv1"]["conv"]["weight"],
+        QuantizedConvWeight,
+    )
+    assert not isinstance(
+        q["down_blocks"]["1"]["resnets"]["0"]["conv1"]["conv"]["weight"],
+        QuantizedConvWeight,
+    )
+
+
+def test_transform_refuses_when_nothing_qualifies(tiny_model):
+    model, params = tiny_model
+    x = jnp.zeros((1, 1, 32, 32))
+    t = jnp.zeros((1,), jnp.int32)
+    with pytest.raises(ValueError):
+        quantize_model_params(lambda p, x, t: model(p, x, t), params, [(x, t)],
+                              min_hw=4096)
+
+
+def test_decode_path_with_quantize_flag(tiny_model):
+    """set_quantize('int8') + decode_diffusion_batch: lazy calibration on the
+    first call, engine cache keyed by quantize mode, finite samples close to
+    the float path."""
+    from fmdm_tpu.sample import diffusion_utils as du
+
+    model, params = tiny_model
+    training_cfg = {"num_train_timesteps": 20}
+    model_cfg = {"scheduler": {"name": "ddim"}, "num_inference_steps": 4}
+    rng = jax.random.PRNGKey(7)
+
+    ref = np.asarray(du.decode_diffusion_batch(
+        model, params, training_cfg, model_cfg, (2, 1, 32, 32), rng=rng))
+    du.set_quantize("int8")
+    try:
+        out = np.asarray(du.decode_diffusion_batch(
+            model, params, training_cfg, model_cfg, (2, 1, 32, 32), rng=rng))
+        # cached second call returns identical samples
+        out2 = np.asarray(du.decode_diffusion_batch(
+            model, params, training_cfg, model_cfg, (2, 1, 32, 32), rng=rng))
+    finally:
+        du.set_quantize(None)
+        du._QUANT_CACHE.clear()
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out, out2)
+    # int8 must track the float reverse process closely but not bit-exactly
+    assert not np.array_equal(out, ref)
+    assert _snr_db(ref, out) > 10.0
+
+
+def test_set_quantize_rejects_unknown_modes():
+    from fmdm_tpu.sample.diffusion_utils import set_quantize
+
+    with pytest.raises(ValueError):
+        set_quantize("int4")
