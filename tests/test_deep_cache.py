@@ -129,7 +129,9 @@ def test_decode_path_honors_deep_cache(model_and_params, monkeypatch):
             model, params, training_cfg, {}, (2, 1, 16, 16), None,
             rng=jax.random.PRNGKey(0))
         assert np.all(np.isfinite(np.asarray(out)))
-        key = next(k for k in du._ENGINE_CACHE if k[0] == id(model) and k[-1] == (3, 1))
+        # deep_cache sits second-to-last in the cache key (the quantize mode
+        # slot was appended after it — see decode_diffusion_batch cache_key)
+        key = next(k for k in du._ENGINE_CACHE if k[0] == id(model) and k[-2] == (3, 1))
         assert du._ENGINE_CACHE[key].deep_cache == (3, 1)
     finally:
         du.set_deep_cache(None)
