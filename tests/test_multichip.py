@@ -148,8 +148,8 @@ def test_dp_sampling_decode_matches_disabled():
     finally:
         du.set_dp_sampling(True)
     n_dev = len(jax.local_devices())
-    assert any(k[0] == id(model) and k[-2] == n_dev for k in du._ENGINE_CACHE), \
-        "DP engine must be cached with the mesh size"
+    assert any(k[0] == id(model) and k[-3] == n_dev for k in du._ENGINE_CACHE), \
+        "DP engine must be cached with the mesh size (key slot -3, before deep_cache/quantize)"
     np.testing.assert_allclose(out_on, out_off, rtol=1e-5, atol=1e-5)
 
 
