@@ -48,6 +48,14 @@ def main() -> None:
     # convs on the 2x-rate int8 MXU, everything else bf16. Opt-in variant; the
     # driver metric of record stays exact bf16.
     compute_dtype = jnp.bfloat16 if dtype_name in ("bf16", "int8") else None
+    # Optional third arg: DeepCache spec "INTERVAL[:DEPTH[:SCHEDULE]]" (same
+    # grammar as run_model --deep_cache) to bench serving-mode compositions
+    # like `bench.py 32 int8 2:1:adaptive`. Omitted = exact sampling.
+    deep_cache = None
+    if len(sys.argv) > 3:
+        from fmdm_tpu.run_model import _parse_deep_cache
+
+        deep_cache = _parse_deep_cache(sys.argv[3])
     num_steps = 50
 
     model = DiffusionUNetFactory().build(FLAGSHIP_UNET, conditioning="concatenate", channels=1)
@@ -71,7 +79,7 @@ def main() -> None:
     )
     timesteps = scheduler.set_timesteps(num_steps)
     engine = SamplingEngine(model, scheduler, timesteps, conditioning_mode="concatenate",
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, deep_cache=deep_cache)
 
     shape = (batch_size, 1, 256, 256)
     cond = jnp.full(shape, 0.5, jnp.float32)
@@ -125,6 +133,7 @@ def main() -> None:
         "num_inference_steps": num_steps,
         "scheduler": "dpmsolver++(order2)",
         "compute_dtype": dtype_name,
+        "deep_cache": None if deep_cache is None else ":".join(map(str, deep_cache)),
         "resolution": 256,
         "seconds_per_sample": round(elapsed / (iters * batch_size), 4),
         "device": str(jax.devices()[0]),
