@@ -15,6 +15,7 @@ Stages:
   1. synthetic flagship dataset (16 train / 6 test cases, 256², 24 slices)
   2. flow-matching flagship training, 300 epochs
   3. evaluate {flowmatch, dpmsolver++} x {bf16, int8}, 144 samples
+  4. serving composition: flowmatch x {bf16, int8} x DeepCache 2:1:adaptive
 
 Usage: python scripts/int8_quality_eval.py [--stage N]
 """
@@ -65,30 +66,47 @@ def train_flow():
     return resolve_run_dir()
 
 
-def evaluate(run_dir: Path):
+VARIANTS = [
+    # (scheduler alias, --quantize, --deep_cache) — stage 3 is the int8 quality
+    # delta; stage 4 composes the two serving levers (int8 x adaptive DeepCache).
+    ("flowmatch", None, None),
+    ("flowmatch", "int8", None),
+    ("dpmsolver++", None, None),
+    ("dpmsolver++", "int8", None),
+]
+VARIANTS_COMPOSED = [
+    ("flowmatch", None, "2:1:adaptive"),
+    ("flowmatch", "int8", "2:1:adaptive"),
+]
+
+
+def evaluate(run_dir: Path, variants=VARIANTS):
     results = {}
-    for alias in ("flowmatch", "dpmsolver++"):
-        for quant in (None, "int8"):
-            tag = alias.replace("+", "p") + ("_int8" if quant else "_bf16")
-            out = ROOT / "eval" / tag
-            marker = out / "DONE"
-            if not marker.exists():
-                cmd = [sys.executable, REPO / "run_model.py",
-                       "--ckpt_dir", run_dir, "--mode", "evaluate",
-                       "--scheduler", alias, "--num_inference_steps", 50,
-                       "--num_samples", 144, "--batch_size", 16,
-                       "--output_dir", out, "--seed", 11]
-                if quant:
-                    cmd += ["--quantize", quant]
-                sh(cmd, ROOT / f"eval_{tag}.log")
-                marker.write_text("ok")
-            rows = sorted(out.glob("**/eval_metrics.csv"), key=lambda p: p.stat().st_mtime)
-            if rows:
-                with open(rows[-1]) as fh:
-                    row = list(csv.DictReader(fh))[-1]
-                results[tag] = row
-                print(f"{tag}: psnr={row.get('psnr')} ssim={row.get('ssim')} "
-                      f"ci95={row.get('psnr_ci95')}", flush=True)
+    for alias, quant, deep_cache in variants:
+        tag = alias.replace("+", "p") + ("_int8" if quant else "_bf16")
+        if deep_cache:
+            tag += "_dc" + deep_cache.replace(":", "-")
+        out = ROOT / "eval" / tag
+        marker = out / "DONE"
+        if not marker.exists():
+            cmd = [sys.executable, REPO / "run_model.py",
+                   "--ckpt_dir", run_dir, "--mode", "evaluate",
+                   "--scheduler", alias, "--num_inference_steps", 50,
+                   "--num_samples", 144, "--batch_size", 16,
+                   "--output_dir", out, "--seed", 11]
+            if quant:
+                cmd += ["--quantize", quant]
+            if deep_cache:
+                cmd += ["--deep_cache", deep_cache]
+            sh(cmd, ROOT / f"eval_{tag}.log")
+            marker.write_text("ok")
+        rows = sorted(out.glob("**/eval_metrics.csv"), key=lambda p: p.stat().st_mtime)
+        if rows:
+            with open(rows[-1]) as fh:
+                row = list(csv.DictReader(fh))[-1]
+            results[tag] = row
+            print(f"{tag}: psnr={row.get('psnr')} ssim={row.get('ssim')} "
+                  f"ci95={row.get('psnr_ci95')}", flush=True)
     return results
 
 
@@ -110,8 +128,11 @@ def main():
         print("=== [2/3] flow-matching flagship (300 epochs)", flush=True)
         run_dir = train_flow()
     if want(3):
-        print("=== [3/3] bf16 vs int8 evals", flush=True)
+        print("=== [3/4] bf16 vs int8 evals", flush=True)
         evaluate(run_dir)
+    if want(4):
+        print("=== [4/4] serving composition: int8 x DeepCache 2:1:adaptive", flush=True)
+        evaluate(run_dir, VARIANTS_COMPOSED)
     print("=== int8 quality eval complete", flush=True)
 
 

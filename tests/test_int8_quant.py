@@ -189,6 +189,44 @@ def test_decode_path_with_quantize_flag(tiny_model):
     assert _snr_db(ref, out) > 10.0
 
 
+def test_quantize_composes_with_deep_cache(tiny_model):
+    """The two serving levers (run_model --quantize int8 --deep_cache I:D)
+    compose in one engine: quantized convs run under the DeepCache skip
+    schedule, the engine cache keys on BOTH knobs, and the composed reverse
+    process stays close to the exact float path."""
+    from fmdm_tpu.sample import diffusion_utils as du
+
+    model, params = tiny_model
+    training_cfg = {"num_train_timesteps": 20}
+    model_cfg = {"scheduler": {"name": "ddim"}, "num_inference_steps": 4}
+    rng = jax.random.PRNGKey(9)
+    shape = (2, 1, 32, 32)
+
+    ref = np.asarray(du.decode_diffusion_batch(
+        model, params, training_cfg, model_cfg, shape, rng=rng))
+    du.set_quantize("int8")
+    try:
+        q_only = np.asarray(du.decode_diffusion_batch(
+            model, params, training_cfg, model_cfg, shape, rng=rng))
+        du.set_deep_cache((2, 1))
+        try:
+            composed = np.asarray(du.decode_diffusion_batch(
+                model, params, training_cfg, model_cfg, shape, rng=rng))
+            composed2 = np.asarray(du.decode_diffusion_batch(
+                model, params, training_cfg, model_cfg, shape, rng=rng))
+        finally:
+            du.set_deep_cache(None)
+    finally:
+        du.set_quantize(None)
+        du._QUANT_CACHE.clear()
+    assert np.isfinite(composed).all()
+    np.testing.assert_array_equal(composed, composed2)
+    # deep-cache must actually change the trajectory vs int8-exact (distinct
+    # engine cache slots), and the composed path still tracks the float ref
+    assert not np.array_equal(composed, q_only)
+    assert _snr_db(ref, composed) > 8.0
+
+
 def test_set_quantize_rejects_unknown_modes():
     from fmdm_tpu.sample.diffusion_utils import set_quantize
 
