@@ -204,7 +204,14 @@ def set_use_ema(enabled: bool) -> None:
 # _DEEP_CACHE above. Calibration happens lazily at the first decode call,
 # where the real conditioning batch and noise scale are in hand.
 _QUANTIZE: Optional[str] = None
-_QUANT_CACHE: Dict[Tuple[int, int], object] = {}
+# key (id(model), id(params)) -> (model, params, qparams). The cached entry
+# keeps STRONG references to the keyed objects: ids are only unique among
+# live objects, so without them a params tree allocated at a GC-reused
+# address would silently serve another checkpoint's quantized weights. The
+# identity re-check on hit makes that impossible; FIFO-capped so multi-
+# checkpoint eval loops don't grow host memory unboundedly.
+_QUANT_CACHE: Dict[Tuple[int, int], Tuple[object, object, object]] = {}
+_QUANT_CACHE_MAX = 4
 
 
 def set_quantize(mode: Optional[str]) -> None:
@@ -219,8 +226,8 @@ def _quantized_params_for(model, params, scheduler, timesteps, batch_shape,
     """Calibrate once per (model, params) and cache the quantized tree."""
     key = (id(model), id(params))
     hit = _QUANT_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is model and hit[1] is params:
+        return hit[2]
     from fmdm_tpu.sample.engine import (normalize_latent_conditioning,
                                         prepare_attention_context)
     from fmdm_tpu.utils.quantize import quantize_model_params
@@ -256,7 +263,9 @@ def _quantized_params_for(model, params, scheduler, timesteps, batch_shape,
     except ValueError as exc:
         logging.warning("--quantize int8: %s — continuing with float weights.", exc)
         qparams = params
-    _QUANT_CACHE[key] = qparams
+    while len(_QUANT_CACHE) >= _QUANT_CACHE_MAX:
+        _QUANT_CACHE.pop(next(iter(_QUANT_CACHE)))
+    _QUANT_CACHE[key] = (model, params, qparams)
     return qparams
 
 

@@ -227,6 +227,46 @@ def test_quantize_composes_with_deep_cache(tiny_model):
     assert _snr_db(ref, composed) > 8.0
 
 
+def test_quant_cache_identity_check_and_cap(tiny_model):
+    """The calibration cache keys on object ids, so it must (a) hold strong
+    references and re-verify identity on hit — ids are only unique among live
+    objects, and a GC-reused address must never serve another checkpoint's
+    quantized weights — and (b) stay bounded under multi-checkpoint eval
+    loops."""
+    from fmdm_tpu.sample import diffusion_utils as du
+
+    model, params = tiny_model
+    training_cfg = {"num_train_timesteps": 20}
+    model_cfg = {"scheduler": {"name": "ddim"}, "num_inference_steps": 4}
+    rng = jax.random.PRNGKey(13)
+    shape = (1, 1, 32, 32)
+
+    du._QUANT_CACHE.clear()
+    # Poison the exact key with a stale entry whose stored identities do NOT
+    # match — simulates an id collision after GC. A hit on it would hand a
+    # bogus qparams ("stale") to the engine and crash; the identity re-check
+    # must treat it as a miss and recalibrate.
+    key = (id(model), id(params))
+    du._QUANT_CACHE[key] = (object(), object(), "stale")
+    du.set_quantize("int8")
+    try:
+        out = np.asarray(du.decode_diffusion_batch(
+            model, params, training_cfg, model_cfg, shape, rng=rng))
+        assert np.isfinite(out).all()
+        entry = du._QUANT_CACHE[key]
+        assert entry[0] is model and entry[1] is params  # refreshed, refs held
+
+        # FIFO cap: fresh params trees (new ids) evict the oldest entries.
+        for i in range(du._QUANT_CACHE_MAX + 2):
+            p_i = jax.tree_util.tree_map(lambda a: a + 0, params)
+            np.asarray(du.decode_diffusion_batch(
+                model, p_i, training_cfg, model_cfg, shape, rng=rng))
+            assert len(du._QUANT_CACHE) <= du._QUANT_CACHE_MAX
+    finally:
+        du.set_quantize(None)
+        du._QUANT_CACHE.clear()
+
+
 def test_set_quantize_rejects_unknown_modes():
     from fmdm_tpu.sample.diffusion_utils import set_quantize
 
