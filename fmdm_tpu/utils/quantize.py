@@ -154,4 +154,10 @@ def quantize_model_params(
         )
     if verbose:
         print(f"quantized {quantized['n']} convs, kept {quantized['kept']} float")
-    return qtree
+    # Residency discipline: calibration walked a HOST tree (numpy leaves); a
+    # host tree handed to a jitted sampler re-uploads every leaf on every
+    # call (~110M params/batch through the TPU tunnel — measured 4x slower
+    # than bf16 end-to-end before this line existed). Return device-resident
+    # committed leaves; QuantizedConvWeight is a registered pytree so its
+    # int8/scale children are placed too.
+    return jax.device_put(qtree, jax.devices()[0])

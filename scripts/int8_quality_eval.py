@@ -99,14 +99,21 @@ def evaluate(run_dir: Path, variants=VARIANTS):
             if deep_cache:
                 cmd += ["--deep_cache", deep_cache]
             sh(cmd, ROOT / f"eval_{tag}.log")
-            marker.write_text("ok")
         rows = sorted(out.glob("**/eval_metrics.csv"), key=lambda p: p.stat().st_mtime)
         if rows:
+            # DONE only once metrics actually exist (ADVICE r4 #2): a
+            # zero-exit run_model that produced no eval_metrics.csv must be
+            # retried on the next invocation, not skipped forever.
+            if not marker.exists():
+                marker.write_text("ok")
             with open(rows[-1]) as fh:
                 row = list(csv.DictReader(fh))[-1]
             results[tag] = row
             print(f"{tag}: psnr={row.get('psnr')} ssim={row.get('ssim')} "
                   f"ci95={row.get('psnr_ci95')}", flush=True)
+        else:
+            print(f"WARNING: {tag}: run_model produced NO eval_metrics.csv under {out} "
+                  f"— variant left un-DONE for retry", flush=True)
     return results
 
 

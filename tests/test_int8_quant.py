@@ -167,18 +167,21 @@ def test_decode_path_with_quantize_flag(tiny_model):
 
     model, params = tiny_model
     training_cfg = {"num_train_timesteps": 20}
-    model_cfg = {"scheduler": {"name": "ddim"}, "num_inference_steps": 4}
+    model_cfg = {"scheduler": {"name": "ddim"}}
     rng = jax.random.PRNGKey(7)
 
     ref = np.asarray(du.decode_diffusion_batch(
-        model, params, training_cfg, model_cfg, (2, 1, 32, 32), rng=rng))
+        model, params, training_cfg, model_cfg, (2, 1, 32, 32), rng=rng,
+            num_inference_steps=4))
     du.set_quantize("int8")
     try:
         out = np.asarray(du.decode_diffusion_batch(
-            model, params, training_cfg, model_cfg, (2, 1, 32, 32), rng=rng))
+            model, params, training_cfg, model_cfg, (2, 1, 32, 32), rng=rng,
+            num_inference_steps=4))
         # cached second call returns identical samples
         out2 = np.asarray(du.decode_diffusion_batch(
-            model, params, training_cfg, model_cfg, (2, 1, 32, 32), rng=rng))
+            model, params, training_cfg, model_cfg, (2, 1, 32, 32), rng=rng,
+            num_inference_steps=4))
     finally:
         du.set_quantize(None)
         du._QUANT_CACHE.clear()
@@ -198,22 +201,26 @@ def test_quantize_composes_with_deep_cache(tiny_model):
 
     model, params = tiny_model
     training_cfg = {"num_train_timesteps": 20}
-    model_cfg = {"scheduler": {"name": "ddim"}, "num_inference_steps": 4}
+    model_cfg = {"scheduler": {"name": "ddim"}}
     rng = jax.random.PRNGKey(9)
     shape = (2, 1, 32, 32)
 
     ref = np.asarray(du.decode_diffusion_batch(
-        model, params, training_cfg, model_cfg, shape, rng=rng))
+        model, params, training_cfg, model_cfg, shape, rng=rng,
+        num_inference_steps=4))
     du.set_quantize("int8")
     try:
         q_only = np.asarray(du.decode_diffusion_batch(
-            model, params, training_cfg, model_cfg, shape, rng=rng))
+            model, params, training_cfg, model_cfg, shape, rng=rng,
+            num_inference_steps=4))
         du.set_deep_cache((2, 1))
         try:
             composed = np.asarray(du.decode_diffusion_batch(
-                model, params, training_cfg, model_cfg, shape, rng=rng))
+                model, params, training_cfg, model_cfg, shape, rng=rng,
+                num_inference_steps=4))
             composed2 = np.asarray(du.decode_diffusion_batch(
-                model, params, training_cfg, model_cfg, shape, rng=rng))
+                model, params, training_cfg, model_cfg, shape, rng=rng,
+                num_inference_steps=4))
         finally:
             du.set_deep_cache(None)
     finally:
@@ -237,22 +244,28 @@ def test_quant_cache_identity_check_and_cap(tiny_model):
 
     model, params = tiny_model
     training_cfg = {"num_train_timesteps": 20}
-    model_cfg = {"scheduler": {"name": "ddim"}, "num_inference_steps": 4}
+    model_cfg = {"scheduler": {"name": "ddim"}}
     rng = jax.random.PRNGKey(13)
     shape = (1, 1, 32, 32)
 
     du._QUANT_CACHE.clear()
-    # Poison the exact key with a stale entry whose stored identities do NOT
-    # match — simulates an id collision after GC. A hit on it would hand a
-    # bogus qparams ("stale") to the engine and crash; the identity re-check
-    # must treat it as a miss and recalibrate.
-    key = (id(model), id(params))
-    du._QUANT_CACHE[key] = (object(), object(), "stale")
     du.set_quantize("int8")
     try:
         out = np.asarray(du.decode_diffusion_batch(
-            model, params, training_cfg, model_cfg, shape, rng=rng))
+            model, params, training_cfg, model_cfg, shape, rng=rng,
+            num_inference_steps=4))
         assert np.isfinite(out).all()
+        ((key, entry),) = du._QUANT_CACHE.items()
+        assert entry[0] is model and entry[1] is params  # strong refs held
+        # Poison the exact key with a stale entry whose stored identities do
+        # NOT match — simulates an id collision after GC. A hit on it would
+        # hand a bogus qparams ("stale") to the engine and crash; the
+        # identity re-check must treat it as a miss and recalibrate.
+        du._QUANT_CACHE[key] = (object(), object(), "stale")
+        out_re = np.asarray(du.decode_diffusion_batch(
+            model, params, training_cfg, model_cfg, shape, rng=rng,
+            num_inference_steps=4))
+        np.testing.assert_array_equal(out, out_re)
         entry = du._QUANT_CACHE[key]
         assert entry[0] is model and entry[1] is params  # refreshed, refs held
 
@@ -260,11 +273,137 @@ def test_quant_cache_identity_check_and_cap(tiny_model):
         for i in range(du._QUANT_CACHE_MAX + 2):
             p_i = jax.tree_util.tree_map(lambda a: a + 0, params)
             np.asarray(du.decode_diffusion_batch(
-                model, p_i, training_cfg, model_cfg, shape, rng=rng))
+                model, p_i, training_cfg, model_cfg, shape, rng=rng,
+                num_inference_steps=4))
             assert len(du._QUANT_CACHE) <= du._QUANT_CACHE_MAX
     finally:
         du.set_quantize(None)
         du._QUANT_CACHE.clear()
+
+
+def test_quantized_params_are_device_resident(tiny_model):
+    """Residency regression (VERDICT r4 Weak #1): quantize_model_params must
+    return DEVICE-resident committed leaves. The original implementation
+    returned the calibration walk's host numpy tree, so the production
+    sampler re-uploaded the full weight tree on every batch — measured 4x
+    slower than bf16 end-to-end through run_model --quantize int8."""
+    model, params = tiny_model
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(1, 1, 32, 32)), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    q = quantize_model_params(lambda p, x, t: model(p, x, t), params, [(x, t)],
+                              min_hw=16, min_channels=32)
+    leaves = jax.tree_util.tree_leaves(q)  # descends into QuantizedConvWeight
+    assert leaves, "quantized tree has no leaves"
+    for leaf in leaves:
+        assert isinstance(leaf, jax.Array), f"host leaf leaked: {type(leaf)}"
+        assert leaf.committed, "leaf not committed to a device"
+
+
+def test_engine_places_params_once(tiny_model):
+    """SamplingEngine must device-place a params tree ONCE per tree object:
+    the second call with the same tree must reuse the identical placed tree
+    (no per-call H2D of the weights), and the placed leaves must be
+    jax.Arrays even when the caller hands a host numpy tree."""
+    from fmdm_tpu.sample.engine import SamplingEngine
+    from fmdm_tpu.schedulers import DDIMScheduler
+
+    model, params = tiny_model
+    host_params = jax.tree_util.tree_map(np.asarray, params)  # worst case
+    scheduler = DDIMScheduler.create(num_train_timesteps=20)
+    engine = SamplingEngine(model, scheduler, scheduler.set_timesteps(3))
+
+    rng = jax.random.PRNGKey(0)
+    out1 = engine(host_params, (1, 1, 32, 32), rng)
+    assert engine._placed is not None and engine._placed[1] is host_params
+    placed_first = engine._placed[2]
+    for leaf in jax.tree_util.tree_leaves(placed_first):
+        assert isinstance(leaf, jax.Array)
+    out2 = engine(host_params, (1, 1, 32, 32), rng)
+    assert engine._placed[2] is placed_first, "params re-placed on second call"
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    # a DIFFERENT tree object (e.g. training visuals with evolving params)
+    # must be placed fresh, never served stale weights
+    params2 = jax.tree_util.tree_map(lambda a: a + 0, params)
+    engine(params2, (1, 1, 32, 32), rng)
+    assert engine._placed[1] is params2
+
+
+def test_decode_quantized_tree_is_device_resident(tiny_model):
+    """End-to-end pin of VERDICT r4 'Next round' #1: after the first
+    run_model-style decode with --quantize int8, the cached quantized tree
+    holds device arrays only (the engine's jitted call then never pays a
+    host->device weight transfer)."""
+    from fmdm_tpu.sample import diffusion_utils as du
+
+    model, params = tiny_model
+    training_cfg = {"num_train_timesteps": 20}
+    model_cfg = {"scheduler": {"name": "ddim"}}
+    du._QUANT_CACHE.clear()
+    du.set_quantize("int8")
+    try:
+        du.decode_diffusion_batch(model, params, training_cfg, model_cfg,
+                                  (1, 1, 32, 32), rng=jax.random.PRNGKey(3),
+                                  num_inference_steps=3)
+        ((_, entry),) = du._QUANT_CACHE.items()
+        for leaf in jax.tree_util.tree_leaves(entry[2]):
+            assert isinstance(leaf, jax.Array)
+            assert leaf.committed
+    finally:
+        du.set_quantize(None)
+        du._QUANT_CACHE.clear()
+
+
+def test_quant_cache_keys_on_calibration_fingerprint(tiny_model):
+    """ADVICE r4 #3: calibration depends on scheduler/timesteps/shape/
+    conditioning — a decode with a different scheduler or step count must
+    RECALIBRATE (new cache entry), not inherit the first decode's activation
+    scales."""
+    from fmdm_tpu.sample import diffusion_utils as du
+
+    model, params = tiny_model
+    training_cfg = {"num_train_timesteps": 20}
+    du._QUANT_CACHE.clear()
+    du.set_quantize("int8")
+    try:
+        du.decode_diffusion_batch(
+            model, params, training_cfg, {"scheduler": {"name": "ddim"}},
+            (1, 1, 32, 32), rng=jax.random.PRNGKey(1), num_inference_steps=3)
+        assert len(du._QUANT_CACHE) == 1
+        # different step count -> different probe timesteps -> recalibrate
+        du.decode_diffusion_batch(
+            model, params, training_cfg, {"scheduler": {"name": "ddim"}},
+            (1, 1, 32, 32), rng=jax.random.PRNGKey(1), num_inference_steps=5)
+        assert len(du._QUANT_CACHE) == 2
+        # same fingerprint -> cache hit, no third entry
+        du.decode_diffusion_batch(
+            model, params, training_cfg, {"scheduler": {"name": "ddim"}},
+            (1, 1, 32, 32), rng=jax.random.PRNGKey(2), num_inference_steps=5)
+        assert len(du._QUANT_CACHE) == 2
+    finally:
+        du.set_quantize(None)
+        du._QUANT_CACHE.clear()
+
+
+def test_engine_cache_is_fifo_capped(tiny_model):
+    """VERDICT r4 Weak #6: each _ENGINE_CACHE entry pins AOT executables; a
+    sweep over scheduler/step-count configurations must not grow it without
+    bound."""
+    from fmdm_tpu.sample import diffusion_utils as du
+
+    model, params = tiny_model
+    training_cfg = {"num_train_timesteps": 20}
+    du._ENGINE_CACHE.clear()
+    try:
+        for steps in range(2, 2 + du._ENGINE_CACHE_MAX + 3):
+            du.decode_diffusion_batch(
+                model, params, training_cfg, {"scheduler": {"name": "ddim"}},
+                (1, 1, 32, 32), rng=jax.random.PRNGKey(0),
+                num_inference_steps=steps)
+            assert len(du._ENGINE_CACHE) <= du._ENGINE_CACHE_MAX
+        assert len(du._ENGINE_CACHE) == du._ENGINE_CACHE_MAX  # cap reached
+    finally:
+        du._ENGINE_CACHE.clear()
 
 
 def test_set_quantize_rejects_unknown_modes():
