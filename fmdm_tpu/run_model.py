@@ -65,6 +65,9 @@ _FLAG_SPEC = [
                                "BENCHMARKS.md for the measured quality trade). SCHEDULE 'adaptive' "
                                "(default) keeps the first/last denoise steps always-full, recovering "
                                "most of uniform caching's PSNR loss; 'uniform' is classic DeepCache. "
+                               "Or 'auto[:dPSNR]' (evaluate mode only, default budget 0.5): probe "
+                               "candidate intervals on the first reference batch and keep the fastest "
+                               "within the PSNR budget of exact sampling. "
                                "Beyond-reference flag; omit for exact sampling.")),
     ("--latent_vae", dict(type=str, default=None,
                           help="Run dir (or config) of a trained VAE: treat the diffusion model's "
@@ -95,6 +98,13 @@ def _parse_deep_cache(value):
     if value is None:
         return None
     parts = str(value).split(":")
+    if parts[0] == "auto":
+        # quality-budget autotune (beyond reference): probe candidates on the
+        # first evaluate batch and keep the fastest within <dPSNR> of exact
+        budget = float(parts[1]) if len(parts) > 1 and parts[1] else 0.5
+        if budget <= 0:
+            raise ValueError("--deep_cache auto:<dPSNR> needs a positive budget")
+        return ("auto", budget)
     interval = int(parts[0])
     depth = int(parts[1]) if len(parts) > 1 and parts[1] else 1
     schedule = parts[2] if len(parts) > 2 and parts[2] else "adaptive"

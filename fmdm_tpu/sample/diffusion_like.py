@@ -191,6 +191,27 @@ def _run_evaluate(*, ckpt_dir, model_type: str, data_txt=None, save: bool = Fals
     conditioning_mode = resolve_conditioning_mode(training_cfg.get("conditioning") or model_cfg.get("conditioning"))
     vae_decode = _load_latent_vae(latent_vae)
 
+    # --deep_cache auto:<dPSNR>: resolve the quality budget to a concrete
+    # (interval, depth, schedule) by probing the FIRST eval batch (which has
+    # references) at this run's exact settings; the chosen engine is then
+    # already compiled for the main loop. No-op without an auto spec.
+    import fmdm_tpu.sample.diffusion_utils as _du
+    if _du._deep_cache_is_auto(_du._DEEP_CACHE):
+        probe_indices = selected_indices[:batch_size] if selected_indices is not None \
+            else list(range(min(batch_size, len(dataset))))
+        probe_samples = [dataset[i] for i in probe_indices]
+        probe_targets = _stack(probe_samples, "target")
+        probe_cond = (_stack(probe_samples, "image")
+                      if conditioning_mode in {"concatenate", "attention"} else None)
+        _du.resolve_auto_deep_cache(
+            model, params, training_cfg, model_cfg,
+            np.asarray(probe_targets), probe_cond,
+            num_inference_steps=num_inference_steps,
+            scheduler_override=scheduler,
+            rng=jax.random.PRNGKey(seed + 1),
+            postprocess=vae_decode,
+        )
+
     total_mse = total_psnr = total_ssim = 0.0
     count = ssim_count = 0
     model_timing = {"model_seconds": 0.0, "model_calls": 0}

@@ -191,8 +191,92 @@ _DEEP_CACHE: Optional[Tuple[int, int]] = None
 
 
 def set_deep_cache(value: Optional[Tuple[int, int]]) -> None:
+    """(interval, depth[, schedule]) — or ("auto", budget_psnr): a quality
+    budget to be resolved by resolve_auto_deep_cache() on a probe batch
+    before any decode happens (run_model --deep_cache auto:<dPSNR>)."""
     global _DEEP_CACHE
     _DEEP_CACHE = tuple(value) if value else None
+
+
+def _deep_cache_is_auto(value) -> bool:
+    return isinstance(value, tuple) and len(value) > 0 and value[0] == "auto"
+
+
+# Most->least aggressive frontier probed by the autotuner. Depth 1 +
+# adaptive schedule is the measured sweet-spot family (BENCHMARKS.md
+# DeepCache quality/throughput frontier): interval drives the speedup,
+# the adaptive head/tail windows recover most of the PSNR.
+_AUTO_CANDIDATES = ((5, 1, "adaptive"), (4, 1, "adaptive"),
+                    (3, 1, "adaptive"), (2, 1, "adaptive"))
+
+
+def resolve_auto_deep_cache(model, params, training_cfg, model_cfg,
+                            targets, conditioning_batch=None, *,
+                            num_inference_steps=None, scheduler_override=None,
+                            rng=None, postprocess=None) -> Optional[Tuple]:
+    """Resolve a ("auto", budget) deep-cache spec by measuring, on one probe
+    batch WITH references, the PSNR each candidate costs vs the exact
+    sampler, and installing the most aggressive candidate within budget
+    (beyond reference — VERDICT r4 item #5).
+
+    targets: reference batch (the probe's ground truth); PSNR is computed
+    exactly like the evaluate loop (clip to [0,1], optional `postprocess`
+    e.g. a latent->pixel VAE decode applied to both sides).
+    Returns the chosen (interval, depth, schedule) or None (exact), and
+    installs it via set_deep_cache. No-op if no auto spec is pending.
+    """
+    global _DEEP_CACHE
+    spec = _DEEP_CACHE
+    if not _deep_cache_is_auto(spec):
+        return _DEEP_CACHE
+    budget = float(spec[1])
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    targets = np.asarray(targets)
+
+    def _psnr_for(setting) -> float:
+        global _DEEP_CACHE
+        _prev = _DEEP_CACHE
+        set_deep_cache(setting)
+        try:
+            out = decode_diffusion_batch(
+                model, params, training_cfg, model_cfg, tuple(targets.shape),
+                conditioning_batch, rng=rng,
+                num_inference_steps=num_inference_steps,
+                scheduler_override=scheduler_override,
+            )
+        finally:
+            _DEEP_CACHE = _prev
+        out = np.asarray(out)
+        ref = targets
+        if postprocess is not None:
+            out = postprocess(out)
+            ref = postprocess(ref)
+        out = np.clip(out, 0.0, 1.0)
+        ref = np.clip(np.asarray(ref), 0.0, 1.0)
+        mse = float(np.mean((out - ref) ** 2))
+        return float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+
+    base = _psnr_for(None)
+    chosen = None
+    probed = []
+    for cand in _AUTO_CANDIDATES:
+        drop = base - _psnr_for(cand)
+        probed.append((cand, drop))
+        if drop <= budget:
+            chosen = cand
+            break
+    table = ", ".join(f"{c[0]}:{c[1]}:{c[2]}→ΔPSNR {d:+.3f}" for c, d in probed)
+    if chosen is None:
+        logging.warning(
+            "deep_cache auto:%.3g — no candidate within budget (probed %s); "
+            "running EXACT.", budget, table)
+    else:
+        logging.info(
+            "deep_cache auto:%.3g resolved to interval=%d depth=%d schedule=%s "
+            "(probe PSNR exact=%.3f; %s)", budget, chosen[0], chosen[1],
+            chosen[2], base, table)
+    set_deep_cache(chosen)
+    return chosen
 
 
 # Sample from the EMA shadow weights (run_model --use_ema; beyond reference —
@@ -365,6 +449,13 @@ def decode_diffusion_batch(
     )
     latent_norm = training_cfg.get("latent_norm")
     deep_cache = _DEEP_CACHE
+    if _deep_cache_is_auto(deep_cache):
+        raise RuntimeError(
+            "--deep_cache auto:<dPSNR> needs a reference batch to probe "
+            "against and is resolved by evaluate mode automatically "
+            "(resolve_auto_deep_cache). For reference-less modes pass an "
+            "explicit interval, e.g. --deep_cache 3:1:adaptive."
+        )
     if deep_cache is not None and not hasattr(model, "up_blocks"):
         logging.warning("deep_cache requested but %s has no deep/shallow split; ignoring.",
                         model.__class__.__name__)
