@@ -47,7 +47,7 @@ def main() -> None:
     # "int8" = post-training W8A8 quantized inference (ops/quant.py): eligible
     # convs on the 2x-rate int8 MXU, everything else bf16. Opt-in variant; the
     # driver metric of record stays exact bf16.
-    compute_dtype = jnp.bfloat16 if dtype_name in ("bf16", "int8") else None
+    compute_dtype = jnp.bfloat16 if dtype_name in ("bf16", "int8", "int8+linear") else None
     # Optional third arg: DeepCache spec "INTERVAL[:DEPTH[:SCHEDULE]]" (same
     # grammar as run_model --deep_cache) to bench serving-mode compositions
     # like `bench.py 32 int8 2:1:adaptive`. Omitted = exact sampling.
@@ -60,7 +60,7 @@ def main() -> None:
 
     model = DiffusionUNetFactory().build(FLAGSHIP_UNET, conditioning="concatenate", channels=1)
     params = model.init(jax.random.PRNGKey(0))
-    if dtype_name == "int8":
+    if dtype_name in ("int8", "int8+linear"):
         from fmdm_tpu.utils.quantize import quantize_model_params
 
         calib_x = jnp.concatenate(
@@ -70,6 +70,7 @@ def main() -> None:
             lambda p, x, t: model(p, x, t),
             params,
             [(calib_x, jnp.full((2,), t, jnp.int32)) for t in (999, 500, 0)],
+            quantize_linear=(dtype_name == "int8+linear"),
         )
     params = jax.device_put(params)
 

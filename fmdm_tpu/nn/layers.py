@@ -67,6 +67,26 @@ def dropout(x: jax.Array, rate: float, *, rng: Optional[jax.Array], train: bool)
 # Linear
 # ---------------------------------------------------------------------------
 
+def linear_nd(x: jax.Array, weight, bias=None) -> jax.Array:
+    """y = x Wᵀ + b with torch weight layout (out, in).
+
+    Module-level for the same reason ``conv_nd`` is: the int8 calibration
+    recorder (utils/quantize.py) patches this symbol, and ``weight`` may be a
+    :class:`fmdm_tpu.ops.quant.QuantizedLinearWeight` — then the matmul runs
+    on the 2x-rate int8 MXU path (W8A8, int32 accumulation). Inference-only.
+    """
+    from fmdm_tpu.ops.quant import QuantizedLinearWeight, linear_qdq
+
+    if isinstance(weight, QuantizedLinearWeight):
+        y = linear_qdq(x, weight)
+    else:
+        w = weight.astype(x.dtype)
+        y = jnp.einsum("...i,oi->...o", x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
 class Linear(Module):
     """y = x Wᵀ + b with torch weight layout (out, in)."""
 
@@ -87,11 +107,7 @@ class Linear(Module):
         self.use_bias = bias
 
     def __call__(self, params: Params, x: jax.Array, **kwargs) -> jax.Array:
-        w = params["weight"].astype(x.dtype)
-        y = jnp.einsum("...i,oi->...o", x, w, preferred_element_type=jnp.float32).astype(x.dtype)
-        if self.use_bias:
-            y = y + params["bias"].astype(x.dtype)
-        return y
+        return linear_nd(x, params["weight"], params["bias"] if self.use_bias else None)
 
 
 # ---------------------------------------------------------------------------

@@ -140,18 +140,20 @@ def param_count(params: Params) -> int:
 def cast_floating(params: Params, dtype) -> Params:
     """Cast floating-point leaves of a pytree to ``dtype`` (ints untouched).
 
-    QuantizedConvWeight bundles (ops/quant.py) pass through unchanged: their
-    payload is int8 and their dequant scales must stay f32 for accuracy.
+    QuantizedConv/LinearWeight bundles (ops/quant.py) pass through unchanged:
+    their payload is int8 and their dequant scales must stay f32 for accuracy.
     """
-    from fmdm_tpu.ops.quant import QuantizedConvWeight
+    from fmdm_tpu.ops.quant import QuantizedConvWeight, QuantizedLinearWeight
+
+    kinds = (QuantizedConvWeight, QuantizedLinearWeight)
 
     def _cast(x):
-        if isinstance(x, QuantizedConvWeight):
+        if isinstance(x, kinds):
             return x
         if jnp.issubdtype(x.dtype, jnp.floating):
             return x.astype(dtype)
         return x
 
     return jax.tree_util.tree_map(
-        _cast, params, is_leaf=lambda x: isinstance(x, QuantizedConvWeight)
+        _cast, params, is_leaf=lambda x: isinstance(x, kinds)
     )

@@ -60,6 +60,41 @@ class QuantizedConvWeight:
                 f"act_scale={self.act_scale!r})")
 
 
+@jax.tree_util.register_pytree_node_class
+class QuantizedLinearWeight:
+    """int8 linear weight + dequantization scales (a pytree leaf bundle).
+
+    Same W8A8 scheme as :class:`QuantizedConvWeight`, for ``nn.layers.Linear``
+    (torch (out, in) layout) — covers the diffusers attention projections
+    (to_q/to_k/to_v/to_out) and any other dense layer the calibration policy
+    admits. ``linear_nd`` (nn/layers.py) dispatches on this type.
+
+    qweight: int8 (out_features, in_features)
+    wscale:  f32 (out_features,)
+    act_scale: f32 scalar, static input-activation scale
+    """
+
+    def __init__(self, qweight, wscale, act_scale):
+        self.qweight = qweight
+        self.wscale = wscale
+        self.act_scale = act_scale
+
+    @property
+    def shape(self):
+        return self.qweight.shape
+
+    def tree_flatten(self):
+        return (self.qweight, self.wscale, self.act_scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def __repr__(self):
+        return (f"QuantizedLinearWeight(shape={tuple(self.qweight.shape)}, "
+                f"act_scale={self.act_scale!r})")
+
+
 def quantize_conv_weight(weight: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-output-channel symmetric int8 quantization of a conv weight.
 
@@ -95,15 +130,42 @@ def make_quantized(weight, act_absmax: float) -> QuantizedConvWeight:
     return QuantizedConvWeight(qweight, wscale, act_scale)
 
 
+def make_quantized_linear(weight, act_absmax: float) -> QuantizedLinearWeight:
+    """Bundle a float (out, in) linear weight + calibrated input absmax into a
+    QuantizedLinearWeight (per-output-channel weight scales, like convs)."""
+    qweight, wscale = quantize_conv_weight(weight)  # axis-0 scales fit (O, I) too
+    act_scale = jnp.float32(max(float(act_absmax), 1e-8) / 127.0)
+    return QuantizedLinearWeight(qweight, wscale, act_scale)
+
+
+def linear_qdq(x: jax.Array, qw: QuantizedLinearWeight) -> jax.Array:
+    """y = dequant(int8(x) @ qweightᵀ): the 2x-rate int8 MXU path for Linear.
+
+    Contracts the last axis of ``x`` against in_features with int32
+    accumulation; the combined (act_scale * wscale) factor broadcasts over the
+    trailing out_features axis of the result.
+    """
+    from jax import lax
+
+    xq = quantize_activation(x, qw.act_scale)
+    acc = lax.dot_general(
+        xq, qw.qweight,
+        (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * (qw.wscale * qw.act_scale)).astype(x.dtype)
+
+
 def is_quantized_tree(params) -> bool:
-    """True if any leaf bundle in the tree is a QuantizedConvWeight."""
+    """True if any leaf bundle is a QuantizedConv/LinearWeight."""
     found = [False]
+    kinds = (QuantizedConvWeight, QuantizedLinearWeight)
 
     def _visit(x):
-        if isinstance(x, QuantizedConvWeight):
+        if isinstance(x, kinds):
             found[0] = True
         return x
 
     jax.tree_util.tree_map(_visit, params,
-                           is_leaf=lambda x: isinstance(x, QuantizedConvWeight))
+                           is_leaf=lambda x: isinstance(x, kinds))
     return found[0]

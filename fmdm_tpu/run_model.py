@@ -76,12 +76,14 @@ _FLAG_SPEC = [
                                "scan-denoise in latent space -> VAE-decode; reference composition "
                                "src/models/vae/kl.py:118-136). Targets are decoded the same way, "
                                "so evaluate metrics are pixel-space. Beyond-reference flag.")),
-    ("--quantize", dict(type=str, default=None, choices=["int8"],
+    ("--quantize", dict(type=str, default=None, choices=["int8", "int8+linear"],
                         help="Post-training quantized inference: 'int8' runs eligible "
                              "convolutions on the TPU's 2x-rate int8 MXU path (W8A8, "
                              "per-channel weight scales, activation scales calibrated on "
-                             "the first batch). Measured speedup and quality cost in "
-                             "BENCHMARKS.md. Beyond-reference flag.")),
+                             "the first batch); 'int8+linear' additionally quantizes the "
+                             "attention to_q/to_k/to_v/to_out projections (token-gated "
+                             "policy, utils/quantize.py). Measured speedup and quality "
+                             "cost in BENCHMARKS.md. Beyond-reference flag.")),
     ("--use_ema", dict(action="store_true",
                        help="Load the EMA shadow weights ('ema' tree, written when "
                             "training.ema_decay > 0) instead of the live weights. "

@@ -312,8 +312,9 @@ _QUANT_CACHE_MAX = 4
 
 def set_quantize(mode: Optional[str]) -> None:
     global _QUANTIZE
-    if mode is not None and mode != "int8":
-        raise ValueError(f"--quantize supports 'int8', got '{mode}'")
+    if mode is not None and mode not in ("int8", "int8+linear"):
+        raise ValueError(
+            f"--quantize supports 'int8' or 'int8+linear', got '{mode}'")
     _QUANTIZE = mode
 
 
@@ -334,6 +335,7 @@ def _quantized_params_for(model, params, scheduler, timesteps, batch_shape,
         scheduler.__class__.__name__, round(sigma, 6),
         tuple(float(t) for t in (ts_host[0], ts_host[len(ts_host) // 2], ts_host[-1])),
         shape, conditioning_mode, conditioning_batch is not None, str(latent_norm),
+        _QUANTIZE,
     )
     key = (id(model), id(params), probe_fingerprint)
     hit = _QUANT_CACHE.get(key)
@@ -362,9 +364,12 @@ def _quantized_params_for(model, params, scheduler, timesteps, batch_shape,
         return model(p, xi, tb, context_ca=cc)
 
     try:
-        qparams = quantize_model_params(forward, params, example_args)
+        qparams = quantize_model_params(
+            forward, params, example_args,
+            quantize_linear=(_QUANTIZE == "int8+linear"))
     except ValueError as exc:
-        logging.warning("--quantize int8: %s — continuing with float weights.", exc)
+        logging.warning("--quantize %s: %s — continuing with float weights.",
+                        _QUANTIZE, exc)
         qparams = params
     while len(_QUANT_CACHE) >= _QUANT_CACHE_MAX:
         _QUANT_CACHE.pop(next(iter(_QUANT_CACHE)))
@@ -461,7 +466,7 @@ def decode_diffusion_batch(
                         model.__class__.__name__)
         deep_cache = None
     cond_for_quant = conditioning_batch
-    if _QUANTIZE == "int8":
+    if _QUANTIZE is not None:
         params = _quantized_params_for(model, params, scheduler, timesteps, batch_shape,
                                        cond_for_quant, conditioning_mode, latent_norm)
     mesh = _sampling_mesh(batch_shape[0])

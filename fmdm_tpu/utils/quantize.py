@@ -33,15 +33,17 @@ import numpy as np
 
 import fmdm_tpu.nn.layers as _layers
 from fmdm_tpu.nn.module import Params
-from fmdm_tpu.ops.quant import QuantizedConvWeight, make_quantized
+from fmdm_tpu.ops.quant import (QuantizedConvWeight, make_quantized,
+                                make_quantized_linear)
 
 
 class _ConvRecord:
-    __slots__ = ("absmax", "min_hw", "cin", "kernel", "calls")
+    __slots__ = ("kind", "absmax", "min_hw", "cin", "kernel", "calls")
 
-    def __init__(self):
+    def __init__(self, kind="conv"):
+        self.kind = kind
         self.absmax = 0.0
-        self.min_hw = 1 << 30
+        self.min_hw = 1 << 30  # convs: min spatial extent; linears: min token count
         self.cin = 0
         self.kernel = ()
         self.calls = 0
@@ -49,12 +51,13 @@ class _ConvRecord:
 
 @contextlib.contextmanager
 def _record_conv_inputs(records: Dict[int, _ConvRecord]):
-    """Patch the single conv_nd call site (nn/layers.py Conv.__call__) with a
-    recording wrapper keyed by the identity of the weight leaf."""
+    """Patch the module-level conv_nd / linear_nd call sites (nn/layers.py)
+    with recording wrappers keyed by the identity of the weight leaf."""
     orig = _layers.conv_nd
+    orig_linear = _layers.linear_nd
 
     def recording_conv_nd(x, weight, bias=None, **kwargs):
-        rec = records.setdefault(id(weight), _ConvRecord())
+        rec = records.setdefault(id(weight), _ConvRecord("conv"))
         rec.absmax = max(rec.absmax, float(jax.numpy.max(jax.numpy.abs(x))))
         rec.min_hw = min(rec.min_hw, int(min(x.shape[2:])))
         rec.cin = int(x.shape[1])
@@ -62,11 +65,25 @@ def _record_conv_inputs(records: Dict[int, _ConvRecord]):
         rec.calls += 1
         return orig(x, weight, bias, **kwargs)
 
+    def recording_linear_nd(x, weight, bias=None):
+        rec = records.setdefault(id(weight), _ConvRecord("linear"))
+        rec.absmax = max(rec.absmax, float(jax.numpy.max(jax.numpy.abs(x))))
+        tokens = 1
+        for d in x.shape[:-1]:
+            tokens *= int(d)
+        rec.min_hw = min(rec.min_hw, tokens)
+        rec.cin = int(x.shape[-1])
+        rec.kernel = (1,)
+        rec.calls += 1
+        return orig_linear(x, weight, bias)
+
     _layers.conv_nd = recording_conv_nd
+    _layers.linear_nd = recording_linear_nd
     try:
         yield
     finally:
         _layers.conv_nd = orig
+        _layers.linear_nd = orig_linear
 
 
 def _cpu_device():
@@ -84,6 +101,9 @@ def quantize_model_params(
     min_hw: int = 32,
     min_channels: int = 64,
     skip_paths: Sequence[str] = ("conv_in", "conv_out"),
+    quantize_linear: bool = False,
+    linear_min_tokens: int = 1024,
+    linear_min_features: int = 128,
     verbose: bool = False,
 ) -> Params:
     """Calibrate on ``example_args`` and return a params tree with eligible
@@ -97,6 +117,11 @@ def quantize_model_params(
         saw input spatial extent >= min_hw and channels >= min_channels, and
         its kernel is spatial (max(k) > 1).
     skip_paths: dotted-path substrings to keep float regardless of policy.
+    quantize_linear: also quantize ``nn.layers.Linear`` weights (attention
+        to_q/to_k/to_v/to_out projections etc.) whose every calibrated call
+        carried >= linear_min_tokens tokens and >= linear_min_features input
+        features. Token gating keeps the per-sample time-embed MLPs
+        (tokens == batch) float — no MXU win there, only quality risk.
     """
     host_params = jax.tree_util.tree_map(np.asarray, params)
 
@@ -129,18 +154,28 @@ def quantize_model_params(
             if rec is None or name != "weight":
                 out[name] = value
                 continue
-            eligible = (
-                rec.min_hw >= min_hw
-                and rec.cin >= min_channels
-                and max(rec.kernel, default=1) > 1
-                and not any(s in sub_path for s in skip_paths)
-            )
+            if rec.kind == "linear":
+                eligible = (
+                    quantize_linear
+                    and rec.min_hw >= linear_min_tokens
+                    and rec.cin >= linear_min_features
+                    and not any(s in sub_path for s in skip_paths)
+                )
+                maker = make_quantized_linear
+            else:
+                eligible = (
+                    rec.min_hw >= min_hw
+                    and rec.cin >= min_channels
+                    and max(rec.kernel, default=1) > 1
+                    and not any(s in sub_path for s in skip_paths)
+                )
+                maker = make_quantized
             if eligible:
-                out[name] = make_quantized(value, rec.absmax)
+                out[name] = maker(value, rec.absmax)
                 quantized["n"] += 1
                 if verbose:
-                    print(f"  int8: {sub_path}  absmax={rec.absmax:.4g} "
-                          f"minhw={rec.min_hw} cin={rec.cin}")
+                    print(f"  int8 {rec.kind}: {sub_path}  absmax={rec.absmax:.4g} "
+                          f"minhw/tokens={rec.min_hw} cin={rec.cin}")
             else:
                 out[name] = value
                 quantized["kept"] += 1

@@ -64,21 +64,31 @@ TINY_UNET = {
 }
 
 
-def _batch(mesh, batch_size):
+def _batch(mesh, batch_size, hw=16):
     return {
-        "target": shard_batch(mesh, np.full((batch_size, 1, 16, 16), 0.5, np.float32)),
-        "image": shard_batch(mesh, np.full((batch_size, 1, 16, 16), 0.25, np.float32)),
+        "target": shard_batch(mesh, np.full((batch_size, 1, hw, hw), 0.5, np.float32)),
+        "image": shard_batch(mesh, np.full((batch_size, 1, hw, hw), 0.25, np.float32)),
         "valid": shard_batch(mesh, np.ones((batch_size,), np.float32)),
     }
 
 
-def compiled_hlo_for_leg(leg: str, devices=None) -> str:
+def compiled_hlo_for_leg(leg: str, devices=None, flagship: bool = False) -> str:
     """Build + lower + compile one parallel strategy's train step; return the
     optimized HLO module text. Mirrors __graft_entry__.dryrun_multichip's
-    four legs plus pure DP."""
+    four legs plus pure DP.
+
+    flagship=True compiles the real 256² flagship architecture instead of the
+    tiny probe — no execution happens, so this only costs (substantial) XLA
+    CPU compile time, and the byte counts are the ones a real v5e pod would
+    move per step."""
     devices = devices or jax.devices("cpu")[:8]
     n = len(devices)
-    model = DiffusionUNetFactory().build(TINY_UNET, conditioning="concatenate", channels=1)
+    arch, hw = (TINY_UNET, 16)
+    if flagship:
+        from __graft_entry__ import FLAGSHIP_UNET
+
+        arch, hw = FLAGSHIP_UNET, FLAGSHIP_UNET.get("sample_size", 256)
+    model = DiffusionUNetFactory().build(arch, conditioning="concatenate", channels=1)
     optimizer, _ = make_adamw(1e-3, 0.0, 2, 10)
     batch_size = 2 * n
 
@@ -127,7 +137,7 @@ def compiled_hlo_for_leg(leg: str, devices=None) -> str:
                 variant="diffusion", conditioning_mode="concatenate",
                 latent_norm=None, grad_accum=1, mesh=mesh,
             )
-            batch = _batch(mesh, batch_size)
+            batch = _batch(mesh, batch_size, hw)
             if leg == "dp_sp":
                 sh = batch_sharding(mesh)
                 batch = {k: jax.device_put(np.asarray(v), sh) for k, v in batch.items()}
@@ -142,21 +152,31 @@ LEGS = ("dp", "dp_tp", "fsdp", "dp_sp", "tp_fsdp")
 
 
 def main() -> None:
+    flagship = "--flagship" in sys.argv
+    legs = [a for a in sys.argv[1:] if not a.startswith("--")] or list(LEGS)
+    # v5e public specs used only for the scaling *bound*: 197 bf16 TFLOP/s,
+    # 1600 Gbit/s (=200 GB/s) aggregate ICI per chip.
+    ICI_GBPS = 200e9
     rows = {}
-    for leg in LEGS:
-        text = compiled_hlo_for_leg(leg)
+    for leg in legs:
+        text = compiled_hlo_for_leg(leg, flagship=flagship)
         cols = parse_collectives(text)
         summary = collective_summary(cols)
+        ici = ici_bytes_per_device(cols)
         rows[leg] = {
             "summary": summary,
-            "ici_bytes_per_device": ici_bytes_per_device(cols),
+            "ici_bytes_per_device": ici,
+            "ici_floor_us": 1e6 * ici / ICI_GBPS,
             "n_collectives": len(cols),
         }
-        print(f"== {leg}")
+        print(f"== {leg}", flush=True)
         for kind, s in sorted(summary.items()):
             print(f"   {kind:20s} count={s['count']:3d} bytes={s['bytes']:,}")
-        print(f"   modeled ICI bytes/device/step: {rows[leg]['ici_bytes_per_device']:,}")
-    out = REPO / ".scratch" / "collective_accounting.json"
+        print(f"   modeled ICI bytes/device/step: {ici:,} "
+              f"(ring-ICI floor {rows[leg]['ici_floor_us']:.0f} us/step at 200 GB/s)",
+              flush=True)
+    name = "collective_accounting_flagship.json" if flagship else "collective_accounting.json"
+    out = REPO / ".scratch" / name
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps(rows, indent=2))
     print(f"wrote {out}")

@@ -78,12 +78,19 @@ VARIANTS_COMPOSED = [
     ("flowmatch", None, "2:1:adaptive"),
     ("flowmatch", "int8", "2:1:adaptive"),
 ]
+# round-5 stage 5: quality-budget DeepCache autotune (run_model --deep_cache
+# auto[:dPSNR]) at flagship scale through the production evaluate path
+# (VERDICT r4 next #5), plus the int8+linear extension (next #6).
+VARIANTS_R5 = [
+    ("flowmatch", "int8", "auto:0.5"),
+    ("flowmatch", "int8+linear", None),
+]
 
 
 def evaluate(run_dir: Path, variants=VARIANTS):
     results = {}
     for alias, quant, deep_cache in variants:
-        tag = alias.replace("+", "p") + ("_int8" if quant else "_bf16")
+        tag = alias.replace("+", "p") + ("_" + quant.replace("+", "_") if quant else "_bf16")
         if deep_cache:
             tag += "_dc" + deep_cache.replace(":", "-")
         out = ROOT / "eval" / tag
@@ -138,8 +145,11 @@ def main():
         print("=== [3/4] bf16 vs int8 evals", flush=True)
         evaluate(run_dir)
     if want(4):
-        print("=== [4/4] serving composition: int8 x DeepCache 2:1:adaptive", flush=True)
+        print("=== [4/5] serving composition: int8 x DeepCache 2:1:adaptive", flush=True)
         evaluate(run_dir, VARIANTS_COMPOSED)
+    if want(5):
+        print("=== [5/5] round-5: deep_cache auto budget + int8+linear", flush=True)
+        evaluate(run_dir, VARIANTS_R5)
     print("=== int8 quality eval complete", flush=True)
 
 

@@ -411,3 +411,124 @@ def test_set_quantize_rejects_unknown_modes():
 
     with pytest.raises(ValueError):
         set_quantize("int4")
+
+
+# ---------------------------------------------------------------- int8 linear
+# (round-5 extension: attention qkv/out projections — VERDICT r4 next #6)
+
+ATTN_UNET = {
+    # attention at the OUTER 32² stage (tokens = 2*32*32 = 2048 during the
+    # b=2 calibration pass) with 128 channels, so the default token/feature
+    # gates (1024 / 128) admit the projections in the decode-path test.
+    "unet_impl": "diffusers_nd", "sample_size": 32, "in_channels": 1,
+    "out_channels": 1, "layers_per_block": 1, "norm_num_groups": 8,
+    "block_out_channels": [128, 128],
+    "down_block_types": ["AttnDownBlock2D", "DownBlock2D"],
+    "up_block_types": ["UpBlock2D", "AttnUpBlock2D"],
+}
+
+
+@pytest.fixture(scope="module")
+def attn_model():
+    model = DiffusionUNetFactory().build(ATTN_UNET, conditioning=None, channels=1)
+    return model, model.init(jax.random.PRNGKey(1))
+
+
+def test_quantized_linear_matches_float():
+    from fmdm_tpu.nn.layers import linear_nd
+    from fmdm_tpu.ops.quant import QuantizedLinearWeight, make_quantized_linear
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(4, 256, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(96, 128)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(96,)).astype(np.float32) * 0.01)
+    ref = linear_nd(x, w, b)
+    qw = make_quantized_linear(w, float(jnp.max(jnp.abs(x))))
+    assert isinstance(qw, QuantizedLinearWeight)
+    out = jax.jit(lambda x, qw, b: linear_nd(x, qw, b))(x, qw, b)
+    assert out.shape == ref.shape and out.dtype == ref.dtype
+    assert _snr_db(ref, out) > 30.0
+
+
+def test_linear_policy_token_gate(attn_model):
+    """quantize_linear=True quantizes the attention projections but NEVER the
+    per-sample time-embed MLP (tokens == batch), and the default
+    quantize_linear=False quantizes no Linear at all."""
+    from fmdm_tpu.ops.quant import QuantizedLinearWeight
+
+    model, params = attn_model
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 1, 32, 32)).astype(np.float32))
+    t = jnp.zeros((2,), jnp.int32)
+
+    def fwd(p, x, t):
+        return model(p, x, t)
+
+    def linear_leaves(tree, path=""):
+        out = {}
+        for k, v in tree.items():
+            sub = f"{path}.{k}" if path else k
+            if isinstance(v, dict):
+                out.update(linear_leaves(v, sub))
+            elif isinstance(v, QuantizedLinearWeight):
+                out[sub] = v
+        return out
+
+    q_off = quantize_model_params(fwd, params, [(x, t)],
+                                  min_hw=8, min_channels=32)
+    assert not linear_leaves(q_off)
+
+    q_on = quantize_model_params(fwd, params, [(x, t)],
+                                 min_hw=8, min_channels=32,
+                                 quantize_linear=True,
+                                 linear_min_tokens=128, linear_min_features=64)
+    leaves = linear_leaves(q_on)
+    assert leaves, "attention projections should have been quantized"
+    assert any(".to_q." in p or ".to_k." in p or ".to_v." in p for p in leaves)
+    # time embedding MLP: tokens == batch == 2 < 128 -> stays float
+    assert not any("time_emb" in p.lower() or "time_embedding" in p.lower()
+                   for p in leaves)
+
+    ref = fwd(params, x, t)
+    out = jax.jit(fwd)(q_on, x, t)
+    assert _snr_db(ref, out) > 15.0
+
+
+def test_decode_path_int8_linear_mode(attn_model):
+    """set_quantize('int8+linear') routes through the same lazy-calibration
+    decode path, caches on the mode, and stays close to the float samples."""
+    from fmdm_tpu.ops.quant import QuantizedLinearWeight
+    from fmdm_tpu.sample import diffusion_utils as du
+
+    model, params = attn_model
+    training_cfg = {"num_train_timesteps": 20}
+    model_cfg = {"scheduler": {"name": "ddim"}}
+    rng = jax.random.PRNGKey(8)
+
+    ref = np.asarray(du.decode_diffusion_batch(
+        model, params, training_cfg, model_cfg, (2, 1, 32, 32), rng=rng,
+        num_inference_steps=4))
+    du.set_quantize("int8+linear")
+    try:
+        out = np.asarray(du.decode_diffusion_batch(
+            model, params, training_cfg, model_cfg, (2, 1, 32, 32), rng=rng,
+            num_inference_steps=4))
+        cached = list(du._QUANT_CACHE.values())
+    finally:
+        du.set_quantize(None)
+        du._QUANT_CACHE.clear()
+        du._ENGINE_CACHE.clear()
+    assert np.isfinite(out).all()
+    assert _snr_db(ref, out) > 8.0
+    # the cached tree actually carries quantized linears at default policy
+    qtree = cached[-1][2]
+    found = [False]
+
+    def _visit(leaf):
+        if isinstance(leaf, QuantizedLinearWeight):
+            found[0] = True
+        return leaf
+
+    jax.tree_util.tree_map(
+        _visit, qtree, is_leaf=lambda l: isinstance(l, QuantizedLinearWeight))
+    assert found[0]
